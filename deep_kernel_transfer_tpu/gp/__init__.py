@@ -1,0 +1,28 @@
+"""From-scratch ExactGP engine (no GPyTorch): kernels, likelihood, exact
+inference. See SURVEY.md §2.3 for the replaced GPyTorch surface."""
+from .distributions import MultivariateNormal
+from .exact import (
+    ExactGP,
+    batched_posterior,
+    init_batched,
+    psd_safe_cholesky,
+    sum_mll,
+)
+from .kernels import Kernel, make_kernel, normalizes_features
+from .likelihoods import GaussianLikelihood
+from .means import constant_mean, constant_mean_init
+
+__all__ = [
+    "MultivariateNormal",
+    "ExactGP",
+    "batched_posterior",
+    "init_batched",
+    "psd_safe_cholesky",
+    "sum_mll",
+    "Kernel",
+    "make_kernel",
+    "normalizes_features",
+    "GaussianLikelihood",
+    "constant_mean",
+    "constant_mean_init",
+]

@@ -1,0 +1,235 @@
+"""DKT — one-vs-rest deep-kernel GP few-shot classification (the paper's method).
+
+TPU-native rebuild of reference methods/DKT.py. The reference trains n_way
+independent GPyTorch ExactGPs in a python loop (IndependentModelList,
+reference methods/DKT.py:68-71, 148-157); here the way axis is a vmap => ONE
+batched [n_way, N, N] Cholesky per episode, and a further vmap batches whole
+episodes, so a training step over B episodes is a single XLA computation:
+
+    images [B, n_way, S+Q, H, W, C]
+      -> features (Flax backbone, per-episode BatchNorm)   [B, N, D]
+      -> (optional) L2 normalise (+ bn_out for bncossim)
+      -> batched Gram + jittered Cholesky + MLL over [B, n_way]
+      -> -sum MLL  ->  grads -> optax update (dual LR, psum over mesh)
+
+Semantics preserved from the reference:
+  * GP train data = support AND query features during meta-training
+    (reference methods/DKT.py:126-164); support-only conditioning at test
+    (methods/DKT.py:224-240).
+  * +-1 one-vs-rest targets (methods/DKT.py:129-136).
+  * prediction = argmax over ways of sigmoid(posterior mean)
+    (methods/DKT.py:179-181, 258-271).
+  * fixed likelihood noise 0.1, non-trainable (methods/DKT.py:346-347).
+  * bncossim: BatchNorm1d appended to the trunk output + L2 normalisation
+    (methods/DKT.py:45-48); cossim: L2 normalisation only.
+  * dual learning rates: GP hyperparams 1e-4, feature net 1e-3, Adam state
+    reset every epoch (methods/DKT.py:114-115 recreates the optimizer each
+    epoch — reproduced via `reset_opt_state`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from ..gp import ExactGP, GaussianLikelihood, make_kernel, normalizes_features
+from ..gp.exact import batched_posterior, init_batched, sum_mll
+from ..models.backbones import EpisodicBatchNorm
+from .base import episode_labels, flatten_episode, one_vs_rest_targets
+
+Array = jax.Array
+
+
+class DKTFeature(nn.Module):
+    """Backbone (+ optional bncossim output BatchNorm, reference DKT.py:45-48)."""
+
+    backbone: nn.Module
+    bn_out: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        z = self.backbone(x)
+        if self.bn_out:
+            z = EpisodicBatchNorm()(z)
+        return z
+
+
+class DKTState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+class DKT:
+    """Functional DKT method. All heavy entry points are jit-compiled.
+
+    Params pytree layout:
+      {"feature": <flax variables>, "gp": <leading-n_way-axis gp params>}
+    """
+
+    def __init__(
+        self,
+        backbone: nn.Module,
+        n_way: int,
+        n_support: int,
+        kernel_type: str = "bncossim",
+        gp_lr: float = 1e-4,
+        feature_lr: float = 1e-3,
+        noise: float = 0.1,
+    ):
+        self.n_way = n_way
+        self.n_support = n_support
+        self.kernel_type = kernel_type
+        self.normalize = normalizes_features(kernel_type)
+        self.feature = DKTFeature(backbone, bn_out=(kernel_type == "bncossim"))
+        # Fixed, non-trainable observation noise (reference DKT.py:346-347).
+        self.gp = ExactGP(
+            make_kernel(kernel_type),
+            GaussianLikelihood(trainable=False, fixed_noise=noise),
+        )
+        self.tx = optax.multi_transform(
+            {"gp": optax.adam(gp_lr), "feature": optax.adam(feature_lr)},
+            param_labels={"gp": "gp", "feature": "feature"},
+        )
+        self._jit_cache: dict = {}
+
+    # -- init --------------------------------------------------------------
+
+    def init(self, key: Array, example_episode: Array) -> DKTState:
+        """example_episode: [n_way, S+Q, H, W, C] (content ignored)."""
+        kf, kg = jax.random.split(key)
+        x_flat = flatten_episode(example_episode)
+        fvars = self.feature.init(kf, x_flat)
+        gp_params = init_batched(self.gp, kg, self.n_way)
+        params = {"feature": fvars, "gp": gp_params}
+        return DKTState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+
+    def reset_opt_state(self, state: DKTState) -> DKTState:
+        """Reference recreates Adam every epoch (methods/DKT.py:114-115)."""
+        return state._replace(opt_state=self.tx.init(state.params))
+
+    # -- core --------------------------------------------------------------
+
+    def _features(self, params, x_flat: Array) -> Array:
+        z = self.feature.apply(params["feature"], x_flat)
+        if self.normalize:
+            z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
+        return z
+
+    def episode_loss(self, params, x: Array) -> Array:
+        """-sum_way MLL on one episode, GP conditioned on support+query
+        (reference methods/DKT.py:126-164)."""
+        n_way, n_total = x.shape[0], x.shape[1]
+        k = n_total  # samples per way in the GP train set
+        z = self._features(params, flatten_episode(x))  # [n_way*k, D]
+        targets = one_vs_rest_targets(n_way, k)  # [n_way, n_way*k]
+        return -sum_mll(self.gp, params["gp"], z, targets)
+
+    def batch_loss(self, params, xb: Array) -> Array:
+        """Mean episode loss over a batch [B, n_way, S+Q, ...]."""
+        losses = jax.vmap(lambda x: self.episode_loss(params, x))(xb)
+        return jnp.mean(losses)
+
+    @partial(jax.jit, static_argnums=0)
+    def train_step(self, state: DKTState, xb: Array) -> tuple[DKTState, dict]:
+        loss, grads = jax.value_and_grad(self.batch_loss)(state.params, xb)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **self._hyper_metrics(params)}
+        return DKTState(params, opt_state, state.step + 1), metrics
+
+    def _hyper_metrics(self, params) -> dict:
+        """Mean outputscale / lengthscale / noise telemetry
+        (reference methods/DKT.py:148-157 logs these per episode)."""
+        out = {}
+        gp = params["gp"]
+        if isinstance(gp, dict) and "raw_outputscale" in gp:
+            out["outputscale"] = jnp.mean(jax.nn.softplus(gp["raw_outputscale"]))
+            base = gp.get("base", {})
+            if "raw_lengthscale" in base:
+                out["lengthscale"] = jnp.mean(jax.nn.softplus(base["raw_lengthscale"]))
+        out["noise"] = jnp.asarray(self.gp.likelihood.fixed_noise)
+        return out
+
+    # -- prediction --------------------------------------------------------
+
+    def episode_logits(self, params, x: Array, condition_on_all: bool = False) -> Array:
+        """Posterior means of each way's GP at the query points.
+
+        Returns [n_way*Q, n_way] (queries x ways), the reference's stacked
+        `gaussian.mean` layout (methods/DKT.py:297-335). Conditioning is on
+        support only (test protocol) unless condition_on_all.
+        """
+        n_way, n_total = x.shape[0], x.shape[1]
+        n_support = self.n_support
+        z_all = self._features(params, flatten_episode(x))
+        d = z_all.shape[-1]
+        z = z_all.reshape(n_way, n_total, d)
+        z_support = z[:, :n_support].reshape(n_way * n_support, d)
+        z_query = z[:, n_support:].reshape(-1, d)
+        if condition_on_all:
+            targets = one_vs_rest_targets(n_way, n_total)
+            post = batched_posterior(self.gp, params["gp"], z_all, targets, z_query)
+        else:
+            targets = one_vs_rest_targets(n_way, n_support)
+            post = batched_posterior(self.gp, params["gp"], z_support, targets, z_query)
+        return post.mean.T  # [n_query_total, n_way]
+
+    def episode_scores(self, params, x: Array) -> Array:
+        """sigmoid(mean) scores (reference methods/DKT.py:258-271)."""
+        return jax.nn.sigmoid(self.episode_logits(params, x))
+
+    @partial(jax.jit, static_argnums=0)
+    def batch_scores(self, params, xb: Array) -> Array:
+        return jax.vmap(lambda x: self.episode_scores(params, x))(xb)
+
+    @partial(jax.jit, static_argnums=0)
+    def batch_logits(self, params, xb: Array) -> Array:
+        return jax.vmap(lambda x: self.episode_logits(params, x))(xb)
+
+    def correct(self, params, x: Array) -> tuple[float, int]:
+        """(top1_correct, count) on one episode (reference methods/DKT.py:199-272)."""
+        n_way, n_total = x.shape[0], x.shape[1]
+        n_query = n_total - self.n_support
+        scores = self.episode_scores(params, x)
+        y_query = episode_labels(n_way, n_query)
+        pred = jnp.argmax(scores, axis=-1)
+        return float(jnp.sum(pred == y_query)), n_way * n_query
+
+    # -- test-time GP adaptation (reference correct(N>0), DKT.py:249-256) --
+
+    def adapt_gp(self, params, x: Array, steps: int, lr: float = 1e-3):
+        """Optimise GP hyperparams on the support set for `steps` Adam steps.
+
+        The reference's optional test-time adaptation optimises the GP (not
+        the feature net) against the support MLL. Runs as a lax.scan so it
+        stays on-device."""
+        if steps == 0:
+            return params
+        n_way = x.shape[0]
+        n_support = self.n_support
+        z_all = self._features(params, flatten_episode(x))
+        d = z_all.shape[-1]
+        z_support = (
+            z_all.reshape(n_way, -1, d)[:, :n_support].reshape(n_way * n_support, d)
+        )
+        targets = one_vs_rest_targets(n_way, n_support)
+        tx = optax.adam(lr)
+
+        def loss_fn(gp_params):
+            return -sum_mll(self.gp, gp_params, z_support, targets)
+
+        def step(carry, _):
+            gp_params, opt_state = carry
+            g = jax.grad(loss_fn)(gp_params)
+            updates, opt_state = tx.update(g, opt_state)
+            return (optax.apply_updates(gp_params, updates), opt_state), None
+
+        (gp_params, _), _ = jax.lax.scan(
+            step, (params["gp"], tx.init(params["gp"])), None, length=steps
+        )
+        return {**params, "gp": gp_params}

@@ -1,0 +1,381 @@
+"""Flax backbones — TPU-native rebuild of the reference backbone zoo.
+
+Re-implements the capability surface of reference backbone.py: Conv4/Conv4S/
+Conv6 (+ NoPool "NP" variants for RelationNet), ResNet10/18/34/50/101, the
+Conv3 QMUL regression trunk, the 2-layer MLP sines feature net, and the
+weight-norm cosine head `distLinear`.
+
+TPU-first design choices (NOT a torch translation):
+  * NHWC layout throughout (XLA's preferred conv layout on TPU).
+  * Fan-in normal init matching reference backbone.py:13-20 so training
+    dynamics are comparable.
+  * BatchNorm always computes batch statistics ("transductive" episodic BN,
+    exactly what the reference does: its BatchNorm2d_fw runs with
+    training=True, momentum=1 — reference backbone.py:94-102 — and its eval
+    path still sees per-episode batches). Computing batch stats is also the
+    only semantics that vmaps cleanly over an episode axis without leaking
+    statistics across episodes.
+  * No python control flow on traced values; every module is jit-safe.
+
+MAML "fast weights" (reference backbone.py:54-102 Linear_fw/Conv2d_fw/
+BatchNorm2d_fw) need NO special layers here: in JAX the inner loop is
+jax.grad over the parameter pytree, so every backbone is automatically
+"fast-weight capable" (see methods/maml.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+ModuleDef = Any
+
+
+def _conv_fanin_init(key, shape, dtype=jnp.float32):
+    """Normal(0, sqrt(2/n)) with n = kh*kw*out_channels.
+
+    Matches reference backbone.py:13-17 (note: torch shape is [out,in,kh,kw],
+    flax HWIO is [kh,kw,in,out] — n uses kh*kw*out)."""
+    kh, kw, _, out = shape
+    n = kh * kw * out
+    return jax.random.normal(key, shape, dtype) * math.sqrt(2.0 / n)
+
+
+class EpisodicBatchNorm(nn.Module):
+    """BatchNorm that always normalises by the current batch statistics.
+
+    This is the semantics every reference path actually exercises (episodic
+    batches at both train and eval; MAML BN momentum=1 hack, reference
+    backbone.py:94-102). It is stateless — no running averages — which makes
+    it vmap-safe over a leading episode axis (per-episode statistics, no
+    cross-episode leakage; SURVEY.md §7 hard part (c))."""
+
+    use_running_average: bool = False  # kept for API symmetry; ignored
+    momentum: float = 1.0
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.mean(jnp.square(x - mean), axis=axes)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class ConvBlock(nn.Module):
+    """3x3 conv + BN + ReLU (+ optional 2x2 maxpool) — reference backbone.py:105-132."""
+
+    out_dim: int
+    pool: bool = True
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(
+            self.out_dim,
+            (3, 3),
+            padding=self.padding,
+            kernel_init=_conv_fanin_init,
+            use_bias=True,
+        )(x)
+        x = EpisodicBatchNorm()(x)
+        x = nn.relu(x)
+        if self.pool:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class ConvNet(nn.Module):
+    """Conv4/Conv6 trunk (reference backbone.py:250-268). Input NHWC.
+
+    feat dim: 84x84 input, 4 pools -> 5x5x64 = 1600 (matches reference 1600)."""
+
+    depth: int
+    flatten: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i in range(self.depth):
+            x = ConvBlock(64, pool=(i < 4))(x)
+        if self.flatten:
+            x = x.reshape(x.shape[:-3] + (-1,))
+        return x
+
+
+class ConvNetNopool(nn.Module):
+    """RelationNet trunk: pooling+valid padding only in first two blocks
+    (reference backbone.py:270-285); output keeps spatial dims [19,19,64]."""
+
+    depth: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i in range(self.depth):
+            x = ConvBlock(64, pool=(i in (0, 1)), padding=0 if i in (0, 1) else 1)(x)
+        return x
+
+
+class ConvNetS(nn.Module):
+    """Omniglot trunk: single input channel, 28x28 -> 1x1x64 = 64 features
+    (reference backbone.py:287-310)."""
+
+    depth: int
+    flatten: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = x[..., :1]  # use only the first channel (reference backbone.py:307)
+        for i in range(self.depth):
+            x = ConvBlock(64, pool=(i < 4))(x)
+        if self.flatten:
+            x = x.reshape(x.shape[:-3] + (-1,))
+        return x
+
+
+class ConvNetSNopool(nn.Module):
+    """Omniglot RelationNet trunk -> [5,5,64] maps (reference backbone.py:312-328)."""
+
+    depth: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = x[..., :1]
+        for i in range(self.depth):
+            x = ConvBlock(64, pool=(i in (0, 1)), padding=0 if i in (0, 1) else 1)(x)
+        return x
+
+
+class SimpleBlock(nn.Module):
+    """ResNet basic block (reference backbone.py:135-185)."""
+
+    out_dim: int
+    half_res: bool
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        stride = 2 if self.half_res else 1
+        h = nn.Conv(
+            self.out_dim, (3, 3), strides=stride, padding=1,
+            use_bias=False, kernel_init=_conv_fanin_init,
+        )(x)
+        h = EpisodicBatchNorm()(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.out_dim, (3, 3), padding=1, use_bias=False,
+            kernel_init=_conv_fanin_init,
+        )(h)
+        h = EpisodicBatchNorm()(h)
+        if in_dim != self.out_dim:
+            s = nn.Conv(
+                self.out_dim, (1, 1), strides=stride, padding=0,
+                use_bias=False, kernel_init=_conv_fanin_init,
+            )(x)
+            s = EpisodicBatchNorm()(s)
+        else:
+            s = x
+        return nn.relu(h + s)
+
+
+class BottleneckBlock(nn.Module):
+    """ResNet bottleneck block (reference backbone.py:190-247)."""
+
+    out_dim: int
+    half_res: bool
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        bottleneck = self.out_dim // 4
+        stride = 2 if self.half_res else 1
+        h = nn.Conv(bottleneck, (1, 1), use_bias=False, kernel_init=_conv_fanin_init)(x)
+        h = EpisodicBatchNorm()(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            bottleneck, (3, 3), strides=stride, padding=1,
+            kernel_init=_conv_fanin_init,
+        )(h)
+        h = EpisodicBatchNorm()(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.out_dim, (1, 1), use_bias=False, kernel_init=_conv_fanin_init)(h)
+        h = EpisodicBatchNorm()(h)
+        if in_dim != self.out_dim:
+            s = nn.Conv(
+                self.out_dim, (1, 1), strides=stride, padding=0,
+                use_bias=False, kernel_init=_conv_fanin_init,
+            )(x)
+        else:
+            s = x
+        return nn.relu(h + s)
+
+
+class ResNet(nn.Module):
+    """ResNet trunk for 224x224 inputs (reference backbone.py:330-376)."""
+
+    block: Callable[..., nn.Module]
+    num_layers: Sequence[int]
+    out_dims: Sequence[int]
+    flatten: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(
+            64, (7, 7), strides=2, padding=3, use_bias=False,
+            kernel_init=_conv_fanin_init,
+        )(x)
+        x = EpisodicBatchNorm()(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i in range(4):
+            for j in range(self.num_layers[i]):
+                half_res = (i >= 1) and (j == 0)
+                x = self.block(self.out_dims[i], half_res)(x)
+        if self.flatten:
+            x = jnp.mean(x, axis=(-3, -2))  # global avg pool (7x7)
+        return x
+
+
+class Conv3(nn.Module):
+    """QMUL regression trunk: 3 dilated strided convs -> 2916 features
+    (reference backbone.py:379-402). 100x100 input -> 9x9x36 = 2916."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i in range(3):
+            x = nn.Conv(
+                36, (3, 3), strides=2, padding="VALID",
+                kernel_dilation=2, kernel_init=_conv_fanin_init,
+            )(x)
+            x = nn.relu(x)
+        return x.reshape(x.shape[:-3] + (-1,))
+
+
+class MLP2(nn.Module):
+    """Sines feature net: Linear(1,40)+ReLU, Linear(40,40)+ReLU
+    (reference sines/train_DKT.py:113-124)."""
+
+    width: int = 40
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.relu(nn.Dense(self.width)(x))
+        x = nn.relu(nn.Dense(self.width)(x))
+        return x
+
+
+class DistLinear(nn.Module):
+    """Weight-normalised cosine classifier head (Baseline++;
+    reference backbone.py:22-44). scores = scale * cos(x, w_c) with a
+    class-wise learnable norm g_c (the WeightNorm 'g' component)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        v = self.param(
+            "v", nn.initializers.lecun_normal(), (in_dim, self.out_dim)
+        )
+        g = self.param("g", nn.initializers.ones, (self.out_dim,))
+        x_norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x_n = x / (x_norm + 1e-5)
+        v_norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+        w = v / (v_norm + 1e-5) * g  # weight-norm: direction * learnable norm
+        cos_dist = x_n @ w
+        scale_factor = 2.0 if self.out_dim <= 200 else 10.0
+        return scale_factor * cos_dist
+
+
+# ---------------------------------------------------------------------------
+# Registry — mirrors io_utils.model_dict (reference io_utils.py:7-15) plus the
+# regression backbones.
+# ---------------------------------------------------------------------------
+
+
+def Conv4():
+    return ConvNet(depth=4)
+
+
+def Conv6():
+    return ConvNet(depth=6)
+
+
+def Conv4NP():
+    return ConvNetNopool(depth=4)
+
+
+def Conv6NP():
+    return ConvNetNopool(depth=6)
+
+
+def Conv4S():
+    return ConvNetS(depth=4)
+
+
+def Conv4SNP():
+    return ConvNetSNopool(depth=4)
+
+
+def ResNet10(flatten=True):
+    return ResNet(SimpleBlock, [1, 1, 1, 1], [64, 128, 256, 512], flatten)
+
+
+def ResNet18(flatten=True):
+    return ResNet(SimpleBlock, [2, 2, 2, 2], [64, 128, 256, 512], flatten)
+
+
+def ResNet34(flatten=True):
+    return ResNet(SimpleBlock, [3, 4, 6, 3], [64, 128, 256, 512], flatten)
+
+
+def ResNet50(flatten=True):
+    return ResNet(BottleneckBlock, [3, 4, 6, 3], [256, 512, 1024, 2048], flatten)
+
+
+def ResNet101(flatten=True):
+    return ResNet(BottleneckBlock, [3, 4, 23, 3], [256, 512, 1024, 2048], flatten)
+
+
+model_dict = {
+    "Conv4": Conv4,
+    "Conv4S": Conv4S,
+    "Conv6": Conv6,
+    "ResNet10": ResNet10,
+    "ResNet18": ResNet18,
+    "ResNet34": ResNet34,
+    "ResNet50": ResNet50,
+    "ResNet101": ResNet101,
+    # regression backbones (reference train_regression.py:24, sines)
+    "Conv3": Conv3,
+    "MLP2": MLP2,
+}
+
+# Feature dims for flattened trunks (reference backbone.py:264,304,368)
+feat_dims = {
+    "Conv4": 1600,
+    "Conv4S": 64,
+    "Conv6": 1600,
+    "ResNet10": 512,
+    "ResNet18": 512,
+    "ResNet34": 512,
+    "ResNet50": 2048,
+    "ResNet101": 2048,
+    "Conv3": 2916,
+    "MLP2": 40,
+}
+
+# Unpooled [H, W, C] map shapes (NHWC; reference keeps [C,H,W]) for 84x84 in.
+np_feat_shapes = {
+    "Conv4NP": (19, 19, 64),
+    "Conv6NP": (19, 19, 64),
+    "Conv4SNP": (5, 5, 64),
+}
