@@ -1,0 +1,131 @@
+"""Benchmark of record: DKT meta-training episodes/sec (headline config).
+
+Protocol: 5-way 5-shot 15-query episodes of 84x84x3 images, Conv4 backbone,
+bncossim kernel — the reference's main configuration (reference train.py,
+methods/DKT.py, configs.py:7). We time the full jitted training step
+(features -> batched [n_way,N,N] Cholesky + MLL -> grads -> Adam) over a
+batch of episodes on the default JAX device.
+
+Baseline: a torch-CPU re-enactment of the reference's sequential episode
+step (Conv4 forward/backward + per-way exact-GP MLL via torch Cholesky, the
+IndependentModelList loop of reference methods/DKT.py:148-164), measured
+once on this machine and cached in .bench_cpu_baseline.json. The north-star
+target is >=10x this number (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import time
+
+N_WAY, N_SUPPORT, N_QUERY, HW = 5, 5, 15, 84
+EP_BATCH = 8
+_BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
+
+
+def _measure_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.models.backbones import Conv4
+
+    model = DKT(Conv4(), n_way=N_WAY, n_support=N_SUPPORT, kernel_type="bncossim")
+    x1 = jnp.zeros((N_WAY, N_SUPPORT + N_QUERY, HW, HW, 3), jnp.float32)
+    state = model.init(jax.random.PRNGKey(0), x1)
+    xb = jax.random.uniform(jax.random.PRNGKey(1), (EP_BATCH,) + x1.shape)
+
+    state, m = model.train_step(state, xb)  # compile
+    jax.block_until_ready(m["loss"])
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = model.train_step(state, xb)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return n_iters * EP_BATCH / dt
+
+
+def _measure_torch_cpu_baseline() -> float:
+    """Sequential torch-CPU episode step in the reference's style."""
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    def conv_block(cin, cout):
+        return torch.nn.Sequential(
+            torch.nn.Conv2d(cin, cout, 3, padding=1),
+            torch.nn.BatchNorm2d(cout),
+            torch.nn.ReLU(),
+            torch.nn.MaxPool2d(2),
+        )
+
+    net = torch.nn.Sequential(
+        conv_block(3, 64), conv_block(64, 64), conv_block(64, 64),
+        conv_block(64, 64), torch.nn.Flatten(),
+    )
+    raw_outputscale = torch.zeros(N_WAY, requires_grad=True)
+    opt = torch.optim.Adam(
+        [{"params": net.parameters(), "lr": 1e-3},
+         {"params": [raw_outputscale], "lr": 1e-4}]
+    )
+    n = N_WAY * (N_SUPPORT + N_QUERY)
+    labels = torch.arange(N_WAY).repeat_interleave(N_SUPPORT + N_QUERY)
+    targets = torch.where(
+        labels[None, :] == torch.arange(N_WAY)[:, None], 1.0, -1.0
+    )
+    x = torch.rand(n, 3, HW, HW)
+
+    def episode():
+        opt.zero_grad()
+        z = net(x)
+        z = z / (z.norm(dim=-1, keepdim=True) + 1e-12)
+        loss = 0.0
+        for w in range(N_WAY):  # reference's sequential per-way GP loop
+            k = torch.nn.functional.softplus(raw_outputscale[w]) * (z @ z.T)
+            k = k + 0.1 * torch.eye(n)
+            chol = torch.linalg.cholesky(k)
+            diff = targets[w]
+            alpha = torch.cholesky_solve(diff[:, None], chol)[:, 0]
+            mll = -0.5 * (
+                diff @ alpha
+                + 2.0 * chol.diagonal().log().sum()
+                + n * 1.8378770664093453
+            ) / n
+            loss = loss - mll
+        loss.backward()
+        opt.step()
+
+    episode()  # warmup
+    n_iters = 4
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        episode()
+    return n_iters / (time.perf_counter() - t0)
+
+
+def _cpu_baseline() -> float:
+    if os.path.exists(_BASELINE_CACHE):
+        with open(_BASELINE_CACHE) as f:
+            return json.load(f)["episodes_per_sec"]
+    eps = _measure_torch_cpu_baseline()
+    with open(_BASELINE_CACHE, "w") as f:
+        json.dump({"episodes_per_sec": eps}, f)
+    return eps
+
+
+def main():
+    eps = _measure_jax()
+    base = _cpu_baseline()
+    print(json.dumps({
+        "metric": "dkt_train_episodes_per_sec",
+        "value": round(eps, 3),
+        "unit": "episodes/s",
+        "vs_baseline": round(eps / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Host-side image transforms — PIL/numpy rebuild of the reference pipeline.
+
+The reference composes torchvision transforms (reference data/datamgr.py:38-46):
+  aug:   RandomSizedCrop, ImageJitter, RandomHorizontalFlip, ToTensor, Normalize
+  eval:  Scale(1.15x), CenterCrop, ToTensor, Normalize
+plus the custom PIL-enhancer ImageJitter (data/additional_transforms.py:15-28).
+
+torchvision is not a dependency here; transforms are implemented directly on
+PIL images and emit float32 NHWC arrays (TPU conv layout), normalised with
+the ImageNet statistics the reference uses (data/datamgr.py:15).
+"""
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+JITTER_PARAMS = dict(Brightness=0.4, Contrast=0.4, Color=0.4)
+_ENHANCERS = dict(
+    Brightness=ImageEnhance.Brightness,
+    Contrast=ImageEnhance.Contrast,
+    Sharpness=ImageEnhance.Sharpness,
+    Color=ImageEnhance.Color,
+)
+
+
+def to_array(img: Image.Image, normalize: bool = True) -> np.ndarray:
+    """PIL -> float32 HWC in [0,1], optionally ImageNet-normalised."""
+    arr = np.asarray(img, np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if normalize:
+        arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    return arr
+
+
+def scale(img: Image.Image, size: int) -> Image.Image:
+    """torchvision Scale([1.15*s, 1.15*s]) (reference data/datamgr.py:32)."""
+    s = int(size * 1.15)
+    return img.resize((s, s), Image.BILINEAR)
+
+
+def center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left = (w - size) // 2
+    top = (h - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def random_sized_crop(img: Image.Image, size: int, rng: np.random.RandomState) -> Image.Image:
+    """torchvision RandomSizedCrop/RandomResizedCrop: random area in
+    [0.08, 1.0], aspect in [3/4, 4/3], 10 attempts then center-crop fallback."""
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target_area = rng.uniform(0.08, 1.0) * area
+        aspect = np.exp(rng.uniform(np.log(3.0 / 4.0), np.log(4.0 / 3.0)))
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = rng.randint(0, w - cw + 1)
+            top = rng.randint(0, h - ch + 1)
+            img2 = img.crop((left, top, left + cw, top + ch))
+            return img2.resize((size, size), Image.BILINEAR)
+    return center_crop(scale(img, size), size)
+
+
+def image_jitter(img: Image.Image, rng: np.random.RandomState,
+                 params=JITTER_PARAMS) -> Image.Image:
+    """reference data/additional_transforms.py:15-28."""
+    out = img
+    rand = rng.rand(len(params))
+    for i, (name, alpha) in enumerate(params.items()):
+        r = alpha * (rand[i] * 2.0 - 1.0) + 1
+        out = _ENHANCERS[name](out).enhance(r).convert("RGB")
+    return out
+
+
+def random_hflip(img: Image.Image, rng: np.random.RandomState) -> Image.Image:
+    if rng.rand() < 0.5:
+        return img.transpose(Image.FLIP_LEFT_RIGHT)
+    return img
+
+
+class TransformPipeline:
+    """aug/eval pipelines matching reference data/datamgr.py:38-46."""
+
+    def __init__(self, image_size: int, aug: bool, normalize: bool = True,
+                 seed: int = 0):
+        self.image_size = image_size
+        self.aug = aug
+        self.normalize = normalize
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        if self.aug:
+            img = random_sized_crop(img, self.image_size, self.rng)
+            img = image_jitter(img, self.rng)
+            img = random_hflip(img, self.rng)
+        else:
+            img = scale(img, self.image_size)
+            img = center_crop(img, self.image_size)
+        return to_array(img, self.normalize)
+
+
+def load_image(path: str) -> Image.Image:
+    return Image.open(path).convert("RGB")

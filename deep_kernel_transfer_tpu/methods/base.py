@@ -75,3 +75,85 @@ def ci95(acc_per_episode) -> float:
 
     a = np.asarray(acc_per_episode)
     return float(1.96 * a.std() / np.sqrt(len(a)))
+
+
+class MethodState(NamedTuple):
+    params: object
+    opt_state: object
+    step: Array
+
+
+class EpisodicMethod:
+    """Shared functional train/eval machinery for the comparison methods.
+
+    Subclasses define:
+      * self.tx          — an optax transform (reference train.py:40 uses a
+                           single Adam over all params for these methods)
+      * init_params(key, example_episode) -> params pytree
+      * episode_loss(params, x[, key]) -> scalar
+      * episode_scores(params, x[, key]) -> [n_way*n_query, n_way]
+
+    This is the functional analog of MetaTemplate's default train_loop /
+    test_loop / correct (reference meta_template.py:45-100).
+    """
+
+    n_way: int
+    n_support: int
+    tx: object
+
+    # -- to be provided by subclasses --------------------------------------
+    def init_params(self, key, example_episode):
+        raise NotImplementedError
+
+    def episode_loss(self, params, x):
+        raise NotImplementedError
+
+    def episode_scores(self, params, x):
+        raise NotImplementedError
+
+    # -- shared machinery --------------------------------------------------
+    def init(self, key, example_episode) -> MethodState:
+        params = self.init_params(key, example_episode)
+        return MethodState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
+
+    def batch_loss(self, params, xb: Array) -> Array:
+        return jnp.mean(jax.vmap(lambda x: self.episode_loss(params, x))(xb))
+
+    def train_step(self, state: MethodState, xb: Array):
+        # jit once per (self, shape); cache on the instance.
+        fn = self.__dict__.get("_train_step_fn")
+        if fn is None:
+            import jax as _jax
+
+            def _step(state, xb):
+                loss, grads = _jax.value_and_grad(self.batch_loss)(state.params, xb)
+                updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+                import optax as _optax
+
+                params = _optax.apply_updates(state.params, updates)
+                return MethodState(params, opt_state, state.step + 1), {"loss": loss}
+
+            fn = _jax.jit(_step)
+            self.__dict__["_train_step_fn"] = fn
+        return fn(state, xb)
+
+    def batch_scores(self, params, xb: Array) -> Array:
+        fn = self.__dict__.get("_batch_scores_fn")
+        if fn is None:
+            import jax as _jax
+
+            fn = _jax.jit(
+                lambda params, xb: _jax.vmap(
+                    lambda x: self.episode_scores(params, x)
+                )(xb)
+            )
+            self.__dict__["_batch_scores_fn"] = fn
+        return fn(params, xb)
+
+    def correct(self, params, x: Array) -> tuple[float, int]:
+        """(top1_correct, count) — reference meta_template.py:45-52."""
+        n_query = x.shape[1] - self.n_support
+        scores = self.batch_scores(params, x[None])[0]
+        y = episode_labels(x.shape[0], n_query)
+        pred = jnp.argmax(scores, axis=-1)
+        return float(jnp.sum(pred == y)), int(x.shape[0] * n_query)

@@ -1,0 +1,15 @@
+"""Mesh / sharding utilities for episode-parallel TPU training."""
+from .mesh import (
+    DATA_AXIS,
+    episode_sharding,
+    make_mesh,
+    make_sharded_train_step,
+    replicate_tree,
+    replicated,
+    shard_episode_batch,
+)
+
+__all__ = [
+    "DATA_AXIS", "episode_sharding", "make_mesh", "make_sharded_train_step",
+    "replicate_tree", "replicated", "shard_episode_batch",
+]

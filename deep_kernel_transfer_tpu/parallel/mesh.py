@@ -1,0 +1,78 @@
+"""Device-mesh utilities — episode-parallel training over TPU slices.
+
+The reference is strictly single-process single-GPU (SURVEY.md §2.2: no
+DataParallel/DDP/NCCL anywhere). The TPU-native scaling strategy is
+EPISODE parallelism: the episode batch axis is sharded over a 1-D "dp" mesh
+axis; parameters are replicated; XLA inserts the psum over ICI for the
+gradient all-reduce when the sharded loss is averaged.
+
+Everything rides jax.sharding + jit (pjit): no hand-written collectives are
+needed for data-parallel meta-training. (`shard_map` enters only in the
+Pallas collective kernels under ops/.)
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+DATA_AXIS = "dp"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over the first n_devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def episode_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading episode-batch axis; replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_episode_batch(xb: Array, mesh: Mesh, axis: str = DATA_AXIS) -> Array:
+    """Place [B, ...] with B split across the mesh. B must divide evenly."""
+    return jax.device_put(xb, episode_sharding(mesh, axis))
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_sharded_train_step(method, mesh: Mesh, axis: str = DATA_AXIS):
+    """jit the method's train step with episode-sharded input and replicated
+    state. `method` must expose .batch_loss(params, xb) and .tx.
+
+    The mean over the (sharded) episode axis inside batch_loss is what XLA
+    lowers to a psum over ICI — the entire data-parallel step is one
+    compiled program per device.
+    """
+    import optax
+
+    state_sh = replicated(mesh)
+    x_sh = episode_sharding(mesh, axis)
+
+    def _step(state, xb):
+        loss, grads = jax.value_and_grad(method.batch_loss)(state.params, xb)
+        updates, opt_state = method.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        ), {"loss": loss}
+
+    return jax.jit(
+        _step,
+        in_shardings=(state_sh, x_sh),
+        out_shardings=(state_sh, state_sh),
+    )

@@ -1,0 +1,135 @@
+"""Checkpointing with the reference's directory/naming scheme.
+
+The reference stores torch state_dicts at
+  <ckpt_dir>/{best_model.tar, <epoch>.tar}           (train.py:57-65)
+with discovery helpers get_assigned/resume/best_file (io_utils.py:66-86).
+We keep the exact file naming and discovery logic; the payload is a flat
+npz of the jax pytree leaves keyed by tree path (portable, no pickle).
+"""
+from __future__ import annotations
+
+import glob
+import io
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any) -> dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def save_checkpoint(path: str, tree: Any, epoch: int = -1) -> None:
+    """Write {'epoch', leaves...} to `path` (an .npz archive regardless of
+    extension, so the reference's .tar names keep working)."""
+    flat = _flatten(tree)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    buf = io.BytesIO()
+    np.savez(buf, __epoch__=np.asarray(epoch), **flat)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def load_checkpoint(path: str, example_tree: Any) -> tuple[Any, int]:
+    """Rebuild a pytree with the structure of `example_tree` from `path`."""
+    with open(path, "rb") as f:
+        z = np.load(io.BytesIO(f.read()), allow_pickle=False)
+    epoch = int(z["__epoch__"])
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(example_tree)
+    leaves = []
+    for path_t, example_leaf in paths_leaves:
+        key = jax.tree_util.keystr(path_t)
+        if key not in z:
+            raise KeyError(f"checkpoint {path} missing leaf {key}")
+        arr = z[key]
+        leaves.append(arr.astype(np.asarray(example_leaf).dtype).reshape(np.shape(example_leaf)))
+    return jax.tree_util.tree_unflatten(treedef, leaves), epoch
+
+
+# -- discovery (reference io_utils.py:66-86) --------------------------------
+
+
+def get_assigned_file(checkpoint_dir: str, num: int) -> str:
+    return os.path.join(checkpoint_dir, f"{num}.tar")
+
+
+def get_resume_file(checkpoint_dir: str) -> Optional[str]:
+    filelist = glob.glob(os.path.join(checkpoint_dir, "*.tar"))
+    filelist = [x for x in filelist if os.path.basename(x) != "best_model.tar"]
+    if not filelist:
+        return None
+    epochs = [int(os.path.splitext(os.path.basename(x))[0]) for x in filelist]
+    return os.path.join(checkpoint_dir, f"{max(epochs)}.tar")
+
+
+def get_best_file(checkpoint_dir: str) -> Optional[str]:
+    best = os.path.join(checkpoint_dir, "best_model.tar")
+    if os.path.isfile(best):
+        return best
+    return get_resume_file(checkpoint_dir)
+
+
+def warmup_from_baseline(warm_dir: str, target_params: Any) -> Any:
+    """Warm-start the feature trunk from a baseline checkpoint.
+
+    The reference renames `feature.`-prefixed state_dict keys into the target
+    model (reference train.py:198-217). Here: baseline stores the trunk under
+    a 'backbone' submodule; we suffix-match each baseline backbone leaf path
+    against the target pytree's leaf paths (which may or may not contain a
+    'backbone' level, depending on the method's module nesting) and replace
+    the matching leaves.
+    """
+    src_file = get_best_file(warm_dir)
+    if src_file is None:
+        raise ValueError(f"no warmup checkpoint found in {warm_dir}")
+    return load_backbone_from(src_file, target_params)
+
+
+def load_backbone_from(src_file: str, target_params: Any) -> Any:
+    """Graft a checkpoint's feature-trunk leaves into `target_params` by
+    suffix path matching (handles both 'backbone'-wrapped checkpoints and
+    bare-trunk ones, e.g. ProtoNet where 'feature' IS the backbone)."""
+    with open(src_file, "rb") as f:
+        z = np.load(io.BytesIO(f.read()), allow_pickle=False)
+    rel = {}
+    for marker in ("['backbone']", "['feature']"):
+        for key in z.files:
+            if marker in key:
+                rel[key[key.index(marker) + len(marker):]] = z[key]
+        if rel:
+            break
+    if not rel:
+        raise ValueError(f"{src_file} has no backbone/feature leaves")
+
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+    leaves, hits = [], 0
+    for path_t, leaf in paths_leaves:
+        key = jax.tree_util.keystr(path_t)
+        replaced = leaf
+        for suffix, arr in rel.items():
+            if key.endswith(suffix) and arr.shape == np.shape(leaf):
+                replaced = arr.astype(np.asarray(leaf).dtype)
+                hits += 1
+                break
+        leaves.append(replaced)
+    if hits == 0:
+        raise ValueError(f"no overlapping backbone leaves between {src_file} "
+                         "and the target model")
+    print(f"warmup: loaded {hits} trunk leaves from {src_file}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def checkpoint_dir_for(save_dir: str, dataset: str, model: str, method: str,
+                       train_aug: bool, train_n_way: Optional[int] = None,
+                       n_shot: Optional[int] = None) -> str:
+    """save/checkpoints/<ds>/<model>_<method>[_aug][_Nway_Kshot]
+    (reference train.py:178-182)."""
+    d = f"{save_dir}/checkpoints/{dataset}/{model}_{method}"
+    if train_aug:
+        d += "_aug"
+    if method not in ("baseline", "baseline++") and train_n_way is not None:
+        d += f"_{train_n_way}way_{n_shot}shot"
+    return d

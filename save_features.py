@@ -1,0 +1,78 @@
+"""Feature-cache writer CLI — rebuild of reference save_features.py.
+
+Runs the trained feature trunk over a split's images and writes the HDF5
+cache {all_feats, all_labels, count} that test.py's feature_evaluation path
+consumes (reference save_features.py:20-41; same on-disk layout). The trunk
+weights are pulled out of the method checkpoint by suffix-matching leaf
+paths (the reference's `feature.`-key renaming, save_features.py:110-119).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deep_kernel_transfer_tpu import factory
+from deep_kernel_transfer_tpu.data import SimpleDataLoader
+from deep_kernel_transfer_tpu.data.feature_cache import save_features
+from deep_kernel_transfer_tpu.io_utils import parse_args
+from deep_kernel_transfer_tpu.models.backbones import model_dict
+from deep_kernel_transfer_tpu.utils.checkpoint import (
+    get_assigned_file,
+    get_best_file,
+    load_backbone_from,
+)
+
+
+def feature_file_path(params_cli) -> str:
+    """<ckpt_dir with checkpoints->features>/<split>[_iter].hdf5
+    (reference save_features.py:96-101)."""
+    ckpt_dir = factory.checkpoint_dir(params_cli)
+    split = params_cli.split
+    if params_cli.save_iter != -1:
+        name = f"{split}_{params_cli.save_iter}.hdf5"
+    else:
+        name = f"{split}.hdf5"
+    return os.path.join(ckpt_dir.replace("checkpoints", "features"), name)
+
+
+def main(argv=None):
+    params_cli = parse_args("save_features", argv)
+    split_file = factory.resolve_data_files(params_cli,
+                                            split_for_test=params_cli.split)
+    image_size = factory.resolve_image_size(params_cli)
+    factory.check_model_constraints(params_cli)
+
+    ckpt_dir = factory.checkpoint_dir(params_cli)
+    if params_cli.save_iter != -1:
+        ckpt_file = get_assigned_file(ckpt_dir, params_cli.save_iter)
+    else:
+        ckpt_file = get_best_file(ckpt_dir)
+    assert ckpt_file is not None, f"no checkpoint in {ckpt_dir}"
+
+    backbone = model_dict[params_cli.model]()
+    example = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+    bvars = backbone.init(jax.random.PRNGKey(0), example)
+    bvars = load_backbone_from(ckpt_file, bvars)
+
+    embed = jax.jit(lambda x: backbone.apply(bvars, x))
+    loader = SimpleDataLoader(split_file, image_size, batch_size=64, aug=False)
+    feats, labels = [], []
+    for i, (x, y) in enumerate(loader):
+        feats.append(np.asarray(embed(jnp.asarray(x))))
+        labels.append(y)
+        if i % 10 == 0:
+            print(f"{i}/{len(loader)}")
+    feats = np.concatenate(feats)
+    labels = np.concatenate(labels)
+
+    out = feature_file_path(params_cli)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_features(out, feats, labels)
+    print(f"saved {feats.shape} features to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Sines MAML — functional first/second-order MAML on MLP(1->40->40->1).
+
+Rebuild of reference sines/train_MAML.py:111-204: inner SGD (lr 0.01,
+1 step) on a task's K=10 points, outer Adam (lr 0.001) on the post-
+adaptation loss, averaged over a meta-batch of tasks. In JAX the
+fast-weight machinery is just jax.grad over the pure params pytree — no
+`weight.fast` attribute hack is needed. Evaluation (reference
+train_MAML.py:206-258): adapt from the meta-params with Adam for n_steps
+on 5 support points, MSE on the 195 query points, 500 tasks.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sines_tpu import common  # noqa: E402
+
+INNER_LR = 0.01
+META_LR = 0.001
+INNER_STEPS = 1
+
+
+class MAMLModel(nn.Module):
+    """reference sines/train_MAML.py:119-130: 1->40->40->1 ReLU MLP."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(40)(x))
+        x = nn.relu(nn.Dense(40)(x))
+        return nn.Dense(1)(x)[..., 0]
+
+
+class SinesMAML:
+    def __init__(self, meta_batch: int = 25):
+        self.net = MAMLModel()
+        self.meta_batch = meta_batch
+        self.tx = optax.adam(META_LR)
+
+    def init(self, key):
+        params = self.net.init(key, jnp.zeros((2, 1)))
+        return params, self.tx.init(params)
+
+    def task_loss(self, params, x, y):
+        return jnp.mean((self.net.apply(params, x) - y) ** 2)
+
+    def inner_adapted_loss(self, params, x, y):
+        """1-step inner SGD then loss on the SAME K points (reference
+        train_MAML.py:157-176)."""
+        fast = params
+        for _ in range(INNER_STEPS):
+            g = jax.grad(self.task_loss)(fast, x, y)
+            fast = jax.tree.map(lambda p, gi: p - INNER_LR * gi, fast, g)
+        return self.task_loss(fast, x, y)
+
+    @partial(jax.jit, static_argnums=0)
+    def meta_step(self, params, opt_state, xb, yb):
+        def meta_loss(p):
+            return jnp.mean(jax.vmap(
+                lambda x, y: self.inner_adapted_loss(p, x, y))(xb, yb))
+
+        loss, grads = jax.value_and_grad(meta_loss)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def adapt_predict(self, params, support, x_query, n_steps: int = 10,
+                      lr: float = 0.01):
+        """Test-time: fresh-Adam finetune on support from the meta-params
+        (reference train_MAML.py:206-245 uses optim=Adam at eval)."""
+        xs, ys = support
+        tx = optax.adam(lr)
+
+        def one(carry, _):
+            p, o = carry
+            g = jax.grad(self.task_loss)(p, xs, ys)
+            updates, o = tx.update(g, o, p)
+            return (optax.apply_updates(p, updates), o), None
+
+        (p, _), _ = jax.lax.scan(one, (params, tx.init(params)), None,
+                                 length=n_steps)
+        return self.net.apply(p, x_query)
+
+
+def main():
+    args = common.parse_args("train_MAML", default_iters=10000)
+    rng = np.random.RandomState(args.seed)
+    tasks = common.train_tasks()
+
+    maml = SinesMAML(meta_batch=max(args.task_batch, 25))
+    params, opt_state = maml.init(jax.random.PRNGKey(args.seed))
+
+    for it in range(args.iterations):
+        xb, yb = tasks.sample_batch(rng, maml.meta_batch,
+                                    common.N_SHOT_TRAIN, noise=0.1)
+        params, opt_state, loss = maml.meta_step(
+            params, opt_state, jnp.asarray(xb), jnp.asarray(yb))
+        if it % 100 == 0:
+            print(f"[{it}] - MetaLoss: {float(loss):.3f}")
+
+    print("Test, please wait...")
+    tt = common.test_tasks(args.out_of_range)
+    mses = []
+    for _ in range(args.n_test_tasks):
+        _, xs, ys, xq, yq, _, _ = common.sample_eval_task(rng, tt)
+        pred = maml.adapt_predict(params, (jnp.asarray(xs), jnp.asarray(ys)),
+                                  jnp.asarray(xq), n_steps=10)
+        mses.append(float(jnp.mean((pred - jnp.asarray(yq)) ** 2)))
+    common.report("MAML", mses)
+
+    test_hi = 10.0 if args.out_of_range else 5.0
+    for i in range(args.n_plots):
+        task, xs, ys, _, _, x_all, _ = common.sample_eval_task(rng, tt)
+        pred = maml.adapt_predict(params, (jnp.asarray(xs), jnp.asarray(ys)),
+                                  jnp.asarray(x_all), n_steps=10)
+        common.save_uncertainty_plot(i, "MAML", task, xs, ys, x_all, pred,
+                                     test_hi=test_hi)
+
+
+if __name__ == "__main__":
+    main()

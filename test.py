@@ -1,0 +1,173 @@
+"""Classification evaluation CLI — rebuild of reference test.py.
+
+Protocols preserved:
+  * DKT / MAML evaluate from raw images: --n_iter (600) episodes with
+    n_query=15, accuracy mean +- 1.96*std/sqrt(n) (reference test.py:133-161).
+  * other methods evaluate from the save_features.py HDF5 cache
+    (`feature_evaluation`, reference test.py:39-59).
+  * --repeat N reseeded runs averaged (reference test.py:187-199).
+  * results appended to record/results.txt (reference test.py:175-184).
+"""
+from __future__ import annotations
+
+import os
+import random
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deep_kernel_transfer_tpu import factory
+from deep_kernel_transfer_tpu.data import EpisodicDataLoader
+from deep_kernel_transfer_tpu.data.feature_cache import (
+    init_loader,
+    sample_feature_episode,
+)
+from deep_kernel_transfer_tpu.io_utils import parse_args
+from deep_kernel_transfer_tpu.methods import (
+    DKT,
+    MAML,
+    BaselineFinetune,
+)
+from deep_kernel_transfer_tpu.methods.base import ci95
+from deep_kernel_transfer_tpu.models.backbones import feat_dims
+from deep_kernel_transfer_tpu.utils.checkpoint import (
+    get_assigned_file,
+    get_best_file,
+    load_checkpoint,
+)
+
+
+def _set_seed(seed: int) -> None:
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def feature_evaluation(cl_data, model, params_cli, n_query=15, adaptation=False,
+                       seed=0):
+    """One episode from cached features -> accuracy% (reference test.py:39-59)."""
+    rng = np.random.RandomState(seed)
+    n_way = params_cli.test_n_way
+    n_support = params_cli.n_shot
+    z = sample_feature_episode(cl_data, rng, n_way, n_support, n_query)
+    z = jnp.asarray(z)
+    if adaptation or params_cli.method in ("baseline", "baseline++"):
+        # linear-probe finetune on support features (reference
+        # meta_template.py:102-135 / baselinefinetune.py:14-52)
+        loss_type = "dist" if params_cli.method == "baseline++" else "softmax"
+        head = BaselineFinetune(z.shape[-1], n_way, n_support,
+                                loss_type=loss_type)
+        scores = head.episode_scores(jax.random.PRNGKey(seed), z)
+    else:
+        scores = model.scores_from_features(model._loaded_params, z)
+    pred = np.asarray(jnp.argmax(scores, axis=-1))
+    y = np.repeat(range(n_way), n_query)
+    return np.mean(pred == y) * 100
+
+
+def single_test(params_cli, seed: int) -> tuple[float, float]:
+    """One full evaluation run -> (acc_mean, acc_ci95). reference test.py:62-185."""
+    _set_seed(seed)
+    n_way = params_cli.test_n_way
+    n_support = params_cli.n_shot
+    image_size = factory.resolve_image_size(params_cli)
+    factory.check_model_constraints(params_cli)
+
+    from_images = params_cli.method in ("DKT", "maml", "maml_approx")
+    model = factory.build_method(params_cli, n_way, n_support)
+    if params_cli.method in ("maml", "maml_approx") and params_cli.adaptation:
+        model.task_update_num = 100  # reference test.py:158-159
+
+    ckpt_dir = factory.checkpoint_dir(params_cli)
+    if params_cli.save_iter != -1:
+        ckpt_file = get_assigned_file(ckpt_dir, params_cli.save_iter)
+    else:
+        ckpt_file = get_best_file(ckpt_dir)
+
+    if from_images:
+        novel_file = factory.resolve_data_files(params_cli,
+                                                split_for_test=params_cli.split)
+        n_query = 15  # reference test.py:142
+        example = jnp.zeros((n_way, n_support + n_query,
+                             image_size, image_size, 3), jnp.float32)
+        state = model.init(jax.random.PRNGKey(seed), example)
+        params = state.params
+        if ckpt_file is not None:
+            params, _ = load_checkpoint(ckpt_file, params)
+            print(f"loaded {ckpt_file}")
+        loader = EpisodicDataLoader(
+            novel_file, image_size, n_way, n_support, n_query,
+            n_episodes=params_cli.n_iter, episode_batch=1, aug=False,
+            seed=seed)
+        if isinstance(model, DKT) and params_cli.adaptation:
+            accs = []
+            for xb in loader:
+                p = model.adapt_gp(params, jnp.asarray(xb[0]), steps=100)
+                c, n = model.correct(p, jnp.asarray(xb[0]))
+                accs.append(c / n * 100)
+        else:
+            accs = []
+            for xb in loader:
+                c, n = model.correct(params, jnp.asarray(xb[0]))
+                accs.append(c / n * 100)
+        accs = np.asarray(accs)
+        return float(accs.mean()), ci95(accs)
+
+    # feature-cache path
+    from save_features import feature_file_path
+
+    feat_file = feature_file_path(params_cli)
+    assert os.path.isfile(feat_file), (
+        f"{feat_file} not found — run save_features.py first")
+    cl_data = init_loader(feat_file)
+
+    if params_cli.method not in ("baseline", "baseline++"):
+        # rebuild method params and load the checkpoint for the head weights
+        d = feat_dims[params_cli.model]
+        example = jnp.zeros((n_way, n_support + 15, image_size, image_size, 3),
+                            jnp.float32)
+        state = model.init(jax.random.PRNGKey(seed), example)
+        params = state.params
+        if ckpt_file is not None:
+            params, _ = load_checkpoint(ckpt_file, params)
+        model._loaded_params = params
+
+    accs = np.asarray([
+        feature_evaluation(cl_data, model, params_cli,
+                           adaptation=params_cli.adaptation, seed=seed * 10000 + i)
+        for i in range(params_cli.n_iter)
+    ])
+    return float(accs.mean()), ci95(accs)
+
+
+def main(argv=None):
+    params_cli = parse_args("test", argv)
+    repeat = params_cli.repeat
+    accs, cis = [], []
+    for r in range(repeat):
+        acc, ci = single_test(params_cli, seed=params_cli.seed + r)
+        print(f"run {r}: {params_cli.n_iter} episodes, "
+              f"acc = {acc:.2f}% +- {ci:.2f}%")
+        accs.append(acc)
+        cis.append(ci)
+    acc, ci = float(np.mean(accs)), float(np.mean(cis))
+    print("-----------------------------")
+    print(f"Seeds = {repeat} | Overall Test Acc = {acc:.2f}% +- {ci:.2f}%")
+    print("-----------------------------")
+
+    # record/results.txt append (reference test.py:175-184)
+    os.makedirs("./record", exist_ok=True)
+    with open("./record/results.txt", "a") as f:
+        timestamp = time.strftime("%Y%m%d-%H%M%S", time.localtime())
+        aug_str = "-aug" if params_cli.train_aug else ""
+        aug_str += "-adapted" if params_cli.adaptation else ""
+        exp_setting = (
+            f"{params_cli.dataset}-{params_cli.model}-{params_cli.method}"
+            f"{aug_str} {params_cli.n_shot}shot {params_cli.test_n_way}way_test")
+        acc_str = f"{repeat} Test Acc = {acc:.2f}% +- {ci:.2f}%"
+        f.write(f"Time: {timestamp}, Setting: {exp_setting}, Acc: {acc_str}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Calibration evaluation CLI — rebuild of reference test_uncertainty.py.
+
+Phase 1: collect logits/targets over --n_iter episodes and fit a scalar
+temperature on NLL (reference test_uncertainty.py:62-74, 234-245).
+Phase 2: reseeded repeats, 15-bin ECE at the fitted temperature
+(test_uncertainty.py:76-94, 249-257). DKT's one-vs-rest logits use
+sigmoid-normalised probabilities (test_uncertainty.py:78-81).
+"""
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deep_kernel_transfer_tpu import factory
+from deep_kernel_transfer_tpu.data import EpisodicDataLoader
+from deep_kernel_transfer_tpu.io_utils import parse_args
+from deep_kernel_transfer_tpu.methods.base import episode_labels
+from deep_kernel_transfer_tpu.utils.checkpoint import (
+    get_assigned_file,
+    get_best_file,
+    load_checkpoint,
+)
+from deep_kernel_transfer_tpu.utils.metrics import calibrate_temperature, ece
+
+
+def get_logits_targets(params_cli, model, params, seed: int):
+    """Stacked [episodes*n_way*Q, n_way] logits + labels
+    (reference test_uncertainty.py:96-225)."""
+    np.random.seed(seed)
+    random.seed(seed)
+    n_way, n_support, n_query = params_cli.test_n_way, params_cli.n_shot, 15
+    image_size = factory.resolve_image_size(params_cli)
+    novel_file = factory.resolve_data_files(params_cli,
+                                            split_for_test=params_cli.split)
+    loader = EpisodicDataLoader(
+        novel_file, image_size, n_way, n_support, n_query,
+        n_episodes=params_cli.n_iter, episode_batch=1, aug=False, seed=seed)
+    logits, targets = [], []
+    y = np.asarray(episode_labels(n_way, n_query))
+    for xb in loader:
+        if hasattr(model, "episode_logits"):
+            lg = model.episode_logits(params, jnp.asarray(xb[0]))
+        else:
+            lg = model.episode_scores(params, jnp.asarray(xb[0]))
+        logits.append(np.asarray(lg))
+        targets.append(y)
+    return np.concatenate(logits), np.concatenate(targets)
+
+
+def main(argv=None):
+    params_cli = parse_args("test", argv)
+    n_way, n_support = params_cli.test_n_way, params_cli.n_shot
+    factory.check_model_constraints(params_cli)
+    model = factory.build_method(params_cli, n_way, n_support)
+
+    image_size = factory.resolve_image_size(params_cli)
+    example = jnp.zeros((n_way, n_support + 15, image_size, image_size, 3),
+                        jnp.float32)
+    state = model.init(jax.random.PRNGKey(params_cli.seed), example)
+    params = state.params
+    ckpt_dir = factory.checkpoint_dir(params_cli)
+    ckpt_file = (get_assigned_file(ckpt_dir, params_cli.save_iter)
+                 if params_cli.save_iter != -1 else get_best_file(ckpt_dir))
+    if ckpt_file is not None:
+        params, _ = load_checkpoint(ckpt_file, params)
+        print(f"loaded {ckpt_file}")
+
+    one_vs_rest = params_cli.method == "DKT"
+
+    # Phase 1: temperature on a held-out collection run
+    logits, targets = get_logits_targets(params_cli, model, params,
+                                         seed=params_cli.seed)
+    temperature = calibrate_temperature(logits, targets)
+    print(f"fitted temperature: {temperature:.4f}")
+
+    # Phase 2: reseeded repeats -> ECE
+    eces = []
+    for r in range(params_cli.repeat):
+        logits, targets = get_logits_targets(
+            params_cli, model, params, seed=params_cli.seed + 1 + r)
+        e = ece(logits, targets, temperature=temperature,
+                one_vs_rest=one_vs_rest)
+        acc = float(np.mean(np.argmax(logits, 1) == targets)) * 100
+        print(f"run {r}: ECE = {e:.4f} | acc = {acc:.2f}%")
+        eces.append(e)
+    print("-----------------------------")
+    print(f"ECE = {np.mean(eces):.4f} +- {np.std(eces):.4f} "
+          f"(T = {temperature:.3f})")
+    print("-----------------------------")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""End-to-end CLI smoke tests on a synthetic on-disk dataset.
+
+Exercises the full reference-compatible surface (SURVEY.md §3 call stacks):
+train.py -> checkpoint -> test.py -> record/results.txt, and the
+save_features.py -> feature_evaluation path, against a generated
+omniglot-like filelist dataset (28px, Conv4->Conv4S rule).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import test as test_cli
+import train as train_cli
+
+N_CLASSES, N_IMG = 6, 20
+
+
+@pytest.fixture(scope="module")
+def dataset_cwd(tmp_path_factory):
+    root = tmp_path_factory.mktemp("repo_cwd")
+    img_dir = root / "filelists" / "omniglot" / "images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    names, labels = [], []
+    for cl in range(N_CLASSES):
+        for i in range(N_IMG):
+            arr = (rng.rand(28, 28, 3) * 60).astype(np.uint8)
+            r, c = divmod(cl, 3)
+            arr[r * 12:r * 12 + 10, c * 9:c * 9 + 8] += 150  # class signature
+            p = img_dir / f"c{cl}_{i}.jpg"
+            Image.fromarray(arr).save(p)
+            names.append(str(p))
+            labels.append(cl)
+    meta = {"label_names": [f"c{i}" for i in range(N_CLASSES)],
+            "image_names": names, "image_labels": labels}
+    for split in ("base", "val", "novel"):
+        with open(root / "filelists" / "omniglot" / f"{split}.json", "w") as f:
+            json.dump(meta, f)
+    old = os.getcwd()
+    os.chdir(root)
+    yield root
+    os.chdir(old)
+
+
+COMMON = ["--dataset=omniglot", "--model=Conv4", "--train_n_way=3",
+          "--test_n_way=3", "--n_shot=2", "--seed=1"]
+
+
+def test_train_and_test_dkt_from_images(dataset_cwd):
+    train_cli.main(COMMON + ["--method=DKT", "--stop_epoch=1",
+                             "--n_train_episodes=3"])
+    ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
+    assert os.path.isfile(ckpt)
+
+    test_cli.main(COMMON + ["--method=DKT", "--n_iter=2", "--repeat=1"])
+    assert os.path.isfile("record/results.txt")
+    assert "omniglot-Conv4S-DKT" in open("record/results.txt").read()
+
+
+def test_train_save_features_and_test_protonet(dataset_cwd):
+    import save_features as sf_cli
+
+    train_cli.main(COMMON + ["--method=protonet", "--stop_epoch=1",
+                             "--n_train_episodes=3"])
+    sf_cli.main(COMMON + ["--method=protonet", "--split=novel"])
+    feat = "save/features/omniglot/Conv4S_protonet_3way_2shot/novel.hdf5"
+    assert os.path.isfile(feat)
+
+    test_cli.main(COMMON + ["--method=protonet", "--n_iter=2", "--repeat=1"])
+    txt = open("record/results.txt").read()
+    assert "omniglot-Conv4S-protonet" in txt

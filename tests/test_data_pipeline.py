@@ -1,0 +1,104 @@
+"""Data pipeline tests: JSON filelist episodic sampling, transforms,
+feature cache, sines/QMUL trajectory math."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from deep_kernel_transfer_tpu.data import (
+    EpisodicDataLoader,
+    SimpleDataLoader,
+    TransformPipeline,
+    init_loader,
+    sample_feature_episode,
+    save_features,
+    sample_trajectory,
+)
+
+
+@pytest.fixture(scope="module")
+def filelist(tmp_path_factory):
+    """Tiny on-disk dataset: 6 classes x 8 images, 20x20 px."""
+    root = tmp_path_factory.mktemp("ds")
+    rng = np.random.RandomState(0)
+    names, labels = [], []
+    for cl in range(6):
+        for i in range(8):
+            arr = (rng.rand(20, 20, 3) * 255).astype(np.uint8)
+            p = str(root / f"c{cl}_{i}.jpg")
+            Image.fromarray(arr).save(p)
+            names.append(p)
+            labels.append(cl)
+    jf = str(root / "base.json")
+    with open(jf, "w") as f:
+        json.dump(
+            {"label_names": [f"class_{i}" for i in range(6)],
+             "image_names": names, "image_labels": labels}, f
+        )
+    return jf
+
+
+def test_episodic_loader_shapes(filelist):
+    loader = EpisodicDataLoader(
+        filelist, image_size=16, n_way=5, n_support=2, n_query=3,
+        n_episodes=4, episode_batch=2, aug=False, seed=0,
+    )
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0].shape == (2, 5, 5, 16, 16, 3)
+    assert batches[0].dtype == np.float32
+
+
+def test_episodic_loader_aug_differs(filelist):
+    a = EpisodicDataLoader(filelist, 16, 3, 2, 2, n_episodes=1, aug=True, seed=0)
+    b = EpisodicDataLoader(filelist, 16, 3, 2, 2, n_episodes=1, aug=False, seed=0)
+    xa = next(iter(a))
+    xb = next(iter(b))
+    assert xa.shape == xb.shape
+    assert not np.allclose(xa, xb)
+
+
+def test_simple_loader(filelist):
+    loader = SimpleDataLoader(filelist, image_size=16, batch_size=8, aug=False)
+    x, y = next(iter(loader))
+    assert x.shape == (8, 16, 16, 3)
+    assert y.shape == (8,)
+    assert len(loader) == 6
+
+
+def test_transform_normalization():
+    img = Image.fromarray(np.full((20, 20, 3), 128, np.uint8))
+    t = TransformPipeline(16, aug=False)
+    out = t(img)
+    # (128/255 - mean)/std per channel
+    expected = (128 / 255 - np.array([0.485, 0.456, 0.406])) / np.array(
+        [0.229, 0.224, 0.225]
+    )
+    np.testing.assert_allclose(out[0, 0], expected, atol=1e-2)
+
+
+def test_feature_cache_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    feats = rng.randn(40, 16).astype(np.float32)
+    labels = np.repeat(np.arange(4), 10)
+    p = str(tmp_path / "novel.hdf5")
+    save_features(p, feats, labels)
+    cl_data = init_loader(p)
+    assert sorted(cl_data.keys()) == [0, 1, 2, 3]
+    assert len(cl_data[0]) == 10
+    ep = sample_feature_episode(cl_data, rng, n_way=3, n_support=2, n_query=4)
+    assert ep.shape == (3, 6, 16)
+
+
+def test_qmul_trajectory_math():
+    rng = np.random.RandomState(0)
+    curve = sample_trajectory(rng)
+    assert len(curve) == 19
+    pitches = [p for p, a in curve]
+    angles = [a for p, a in curve]
+    assert angles == [x * 10 for x in range(19)]
+    # pitches land on the 10-degree grid within [60, 120]
+    assert all(p % 10 == 0 for p in pitches)
+    assert all(0 <= p <= 130 for p in pitches)

@@ -1,0 +1,112 @@
+"""DKT one-vs-rest GP classification on synthetic episodes.
+
+Uses tiny images whose class identity is linearly decodable so a few train
+steps must push query accuracy well above chance (SURVEY.md §4b)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep_kernel_transfer_tpu.methods.base import (
+    episode_labels,
+    one_vs_rest_targets,
+)
+from deep_kernel_transfer_tpu.methods.dkt import DKT
+from deep_kernel_transfer_tpu.models.backbones import ConvNetS
+
+
+N_WAY, N_SUPPORT, N_QUERY = 5, 5, 6
+IMG = 16
+
+
+def synthetic_episode(rng, n_way=N_WAY, k=N_SUPPORT + N_QUERY):
+    """Each class = a bright blob in a class-specific corner + noise."""
+    x = rng.randn(n_way, k, IMG, IMG, 3).astype(np.float32) * 0.3
+    for w in range(n_way):
+        r, c = divmod(w, 3)
+        x[w, :, r * 5:r * 5 + 5, c * 5:c * 5 + 5, :] += 2.0
+    return x
+
+
+def batch(rng, b=2):
+    return np.stack([synthetic_episode(rng) for _ in range(b)])
+
+
+@pytest.fixture(scope="module")
+def trained():
+    model = DKT(ConvNetS(depth=2), n_way=N_WAY, n_support=N_SUPPORT,
+                kernel_type="bncossim")
+    rng = np.random.RandomState(0)
+    state = model.init(jax.random.PRNGKey(0), jnp.asarray(synthetic_episode(rng)))
+    losses = []
+    for i in range(25):
+        xb = jnp.asarray(batch(rng))
+        state, m = model.train_step(state, xb)
+        losses.append(float(m["loss"]))
+    return model, state, losses, rng
+
+
+def test_one_vs_rest_targets():
+    t = np.asarray(one_vs_rest_targets(3, 2))
+    expected = np.array(
+        [[1, 1, -1, -1, -1, -1], [-1, -1, 1, 1, -1, -1], [-1, -1, -1, -1, 1, 1]],
+        np.float32,
+    )
+    np.testing.assert_array_equal(t, expected)
+
+
+def test_episode_labels():
+    np.testing.assert_array_equal(np.asarray(episode_labels(3, 2)), [0, 0, 1, 1, 2, 2])
+
+
+def test_loss_decreases(trained):
+    _, _, losses, _ = trained
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_query_accuracy_above_chance(trained):
+    model, state, _, rng = trained
+    correct = total = 0
+    for _ in range(6):
+        x = jnp.asarray(synthetic_episode(rng))
+        c, n = model.correct(state.params, x)
+        correct += c
+        total += n
+    acc = correct / total * 100
+    assert acc > 60.0, f"query acc {acc:.1f}% not above chance (20%)"
+
+
+def test_scores_shape_and_range(trained):
+    model, state, _, rng = trained
+    x = jnp.asarray(synthetic_episode(rng))
+    scores = model.episode_scores(state.params, x)
+    assert scores.shape == (N_WAY * N_QUERY, N_WAY)
+    assert float(scores.min()) >= 0.0 and float(scores.max()) <= 1.0  # sigmoid
+
+    logits = model.episode_logits(state.params, x)
+    assert logits.shape == (N_WAY * N_QUERY, N_WAY)
+
+
+def test_gp_adaptation_runs(trained):
+    model, state, _, rng = trained
+    x = jnp.asarray(synthetic_episode(rng))
+    adapted = model.adapt_gp(state.params, x, steps=3)
+    # gp params changed, feature params untouched
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: bool((a == b).all()),
+                     adapted["feature"], state.params["feature"])
+    )
+    changed = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), adapted["gp"], state.params["gp"]
+    )
+    assert max(jax.tree.leaves(changed)) > 0
+
+
+def test_reset_opt_state(trained):
+    model, state, _, _ = trained
+    fresh = model.reset_opt_state(state)
+    # Adam moments zeroed
+    leaves = jax.tree.leaves(fresh.opt_state)
+    arrs = [l for l in leaves if hasattr(l, "shape") and getattr(l, "size", 0) > 0]
+    assert all(float(jnp.abs(a).sum()) == 0 for a in arrs if a.dtype != jnp.int32)

@@ -20,14 +20,13 @@ def test_train_reduces_loss_and_beats_prior_mse():
     rng = np.random.RandomState(0)
     tasks = TaskDistribution(x_min=-5.0, x_max=5.0)
 
-    first_loss = None
-    for i in range(120):
+    losses = []
+    for i in range(400):
         xb, yb = tasks.sample_batch(rng, batch_size=4, samples_per_task=10, noise=0.1)
         state, metrics = model.train_step(state, jnp.asarray(xb), jnp.asarray(yb))
-        if first_loss is None:
-            first_loss = float(metrics["loss"])
-    last_loss = float(metrics["loss"])
-    assert last_loss < first_loss
+        losses.append(float(metrics["loss"]))
+    # per-batch loss is noisy; compare smoothed start vs end
+    assert np.mean(losses[-20:]) < np.mean(losses[:20]) - 0.1
 
     # 5-shot eval protocol (reference sines/train_DKT.py:199-230)
     mses = []

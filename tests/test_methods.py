@@ -1,0 +1,162 @@
+"""Comparison-method episode tests on synthetic data (SURVEY.md §4b).
+
+Each method must (a) run jitted train steps with finite decreasing loss and
+(b) beat chance on linearly-separable synthetic episodes after a few steps.
+Small backbones keep single-core CPU compile times sane.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep_kernel_transfer_tpu.methods import (
+    BaselineFinetune,
+    BaselineTrain,
+    FeatureTransfer,
+    MAML,
+    MatchingNet,
+    ProtoNet,
+    RelationNet,
+)
+from deep_kernel_transfer_tpu.models.backbones import ConvNetS, ConvNetSNopool, MLP2
+
+N_WAY, N_SUPPORT, N_QUERY = 4, 3, 4
+IMG = 16
+
+
+def synthetic_episode(rng, n_way=N_WAY, k=N_SUPPORT + N_QUERY):
+    x = rng.randn(n_way, k, IMG, IMG, 3).astype(np.float32) * 0.3
+    for w in range(n_way):
+        r, c = divmod(w, 2)
+        # mild signal: strong enough to learn, weak enough that the CE loss
+        # does not saturate to exactly 0.0 at init (squared-distance scores
+        # over ~1k feature dims produce huge softmax margins otherwise)
+        x[w, :, r * 6:r * 6 + 5, c * 6:c * 6 + 5, :] += 0.3
+    return x
+
+
+def _train_and_eval(method, steps=20, batch=2, rng_seed=0):
+    rng = np.random.RandomState(rng_seed)
+    state = method.init(jax.random.PRNGKey(0), jnp.asarray(synthetic_episode(rng)))
+    losses = []
+    for _ in range(steps):
+        xb = jnp.asarray(np.stack([synthetic_episode(rng) for _ in range(batch)]))
+        state, m = method.train_step(state, xb)
+        losses.append(float(m["loss"]))
+    correct = total = 0
+    for _ in range(4):
+        c, n = method.correct(state.params, jnp.asarray(synthetic_episode(rng)))
+        correct += c
+        total += n
+    return losses, correct / total * 100
+
+
+def test_protonet_learns():
+    losses, acc = _train_and_eval(
+        ProtoNet(ConvNetS(depth=2), N_WAY, N_SUPPORT), steps=25
+    )
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    assert acc > 50.0  # chance = 25%
+
+
+def test_maml_learns():
+    m = MAML(ConvNetS(depth=2), N_WAY, N_SUPPORT,
+             n_task=2, task_update_num=2, train_lr=0.05)
+    losses, acc = _train_and_eval(m, steps=20)
+    assert np.isfinite(losses).all()
+    assert acc > 50.0
+
+
+def test_maml_approx_runs():
+    m = MAML(ConvNetS(depth=2), N_WAY, N_SUPPORT, approx=True,
+             n_task=2, task_update_num=1)
+    rng = np.random.RandomState(0)
+    state = m.init(jax.random.PRNGKey(0), jnp.asarray(synthetic_episode(rng)))
+    xb = jnp.asarray(np.stack([synthetic_episode(rng) for _ in range(2)]))
+    state, metrics = m.train_step(state, xb)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_matchingnet_learns():
+    # tiny feature dim via a 2-block conv on 16px -> flatten
+    m = MatchingNet(ConvNetS(depth=2), feat_dim=4 * 4 * 64,
+                    n_way=N_WAY, n_support=N_SUPPORT)
+    losses, acc = _train_and_eval(m, steps=20)
+    assert np.isfinite(losses).all()
+    assert acc > 45.0
+
+
+def test_relationnet_learns():
+    # ConvNetSNopool on 16px: two pooled valid blocks -> [2,2,64]
+    m = RelationNet(ConvNetSNopool(depth=2), feat_shape=(2, 2, 64),
+                    n_way=N_WAY, n_support=N_SUPPORT, loss_type="mse")
+    losses, acc = _train_and_eval(m, steps=25)
+    assert np.isfinite(losses).all()
+    assert acc > 45.0
+
+
+def test_relationnet_softmax_runs():
+    m = RelationNet(ConvNetSNopool(depth=2), feat_shape=(2, 2, 64),
+                    n_way=N_WAY, n_support=N_SUPPORT, loss_type="softmax")
+    rng = np.random.RandomState(0)
+    state = m.init(jax.random.PRNGKey(0), jnp.asarray(synthetic_episode(rng)))
+    xb = jnp.asarray(np.stack([synthetic_episode(rng)]))
+    state, metrics = m.train_step(state, xb)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_baseline_train_and_finetune():
+    bt = BaselineTrain(ConvNetS(depth=2), num_class=8, loss_type="softmax")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, IMG, IMG, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 8, 16))
+    state = bt.init(jax.random.PRNGKey(0), x)
+    state, m1 = bt.train_step(state, x, y)
+    state, m2 = bt.train_step(state, x, y)
+    assert float(m2["loss"]) < float(m1["loss"])
+
+    # finetune on separable features
+    d = 32
+    z = rng.randn(N_WAY, N_SUPPORT + N_QUERY, d).astype(np.float32) * 0.1
+    for w in range(N_WAY):
+        z[w, :, w * 5:(w + 1) * 5] += 2.0
+    bf = BaselineFinetune(d, N_WAY, N_SUPPORT, loss_type="softmax",
+                          finetune_epochs=30)
+    c, n = bf.correct(jax.random.PRNGKey(0), jnp.asarray(z))
+    assert c / n * 100 > 60.0
+
+
+def test_baseline_plusplus_finetune():
+    rng = np.random.RandomState(0)
+    d = 32
+    z = rng.randn(N_WAY, N_SUPPORT + N_QUERY, d).astype(np.float32) * 0.1
+    for w in range(N_WAY):
+        z[w, :, w * 5:(w + 1) * 5] += 2.0
+    bf = BaselineFinetune(d, N_WAY, N_SUPPORT, loss_type="dist",
+                          finetune_epochs=30)
+    c, n = bf.correct(jax.random.PRNGKey(0), jnp.asarray(z))
+    assert c / n * 100 > 60.0
+
+
+def test_feature_transfer_regression():
+    ft = FeatureTransfer(MLP2())
+    rng = np.random.RandomState(0)
+    state = ft.init(jax.random.PRNGKey(0), jnp.zeros((10, 1)))
+    # tasks: y = a*x; transfer should fit the mean task then adapt
+    first = last = None
+    for i in range(60):
+        a = rng.uniform(0.5, 1.5, (4, 1))
+        x = rng.uniform(-2, 2, (4, 10, 1)).astype(np.float32)
+        y = (a[:, :, None] * x)[:, :, 0].astype(np.float32)
+        state, m = ft.train_step(state, jnp.asarray(x), jnp.asarray(y))
+        if first is None:
+            first = float(m["loss"])
+    last = float(m["loss"])
+    assert last < first
+    xs = np.linspace(-2, 2, 5).reshape(-1, 1).astype(np.float32)
+    ys = (1.2 * xs)[:, 0]
+    xa = np.linspace(-2, 2, 20).reshape(-1, 1).astype(np.float32)
+    ya = (1.2 * xa)[:, 0]
+    mse = ft.test_mse(state, jnp.asarray(xs), jnp.asarray(ys),
+                      jnp.asarray(xa), jnp.asarray(ya))
+    assert mse < 1.0

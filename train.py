@@ -1,0 +1,176 @@
+"""Classification meta-training CLI — reference-compatible surface.
+
+Rebuild of reference train.py:24-219: same flags (io_utils.parse_args),
+same dataset/image-size/epoch-default resolution, same checkpoint directory
+naming and best-model selection, with the TPU-native training loop under
+the hood (batched episodes, jitted steps, optional episode-parallel mesh).
+
+Run e.g.:
+    python train.py --dataset=cross_char --model=Conv4 --method=DKT
+"""
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deep_kernel_transfer_tpu import factory
+from deep_kernel_transfer_tpu.data import EpisodicDataLoader, SimpleDataLoader
+from deep_kernel_transfer_tpu.io_utils import parse_args
+from deep_kernel_transfer_tpu.methods import DKT, MAML, BaselineTrain
+from deep_kernel_transfer_tpu.utils.checkpoint import (
+    get_resume_file,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def _set_seed(seed: int) -> None:
+    """reference train.py:24-35."""
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def _val_acc(model, params, val_loader) -> float:
+    correct = total = 0.0
+    for xb in val_loader:
+        for x in xb:  # per-episode correct() like reference test_loop
+            c, n = model.correct(params, jnp.asarray(x))
+            correct += c
+            total += n
+    return correct / max(total, 1) * 100.0
+
+
+def train_baseline(params_cli, base_file, image_size, stop_epoch, ckpt_dir):
+    """Stage-1 softmax/cosine pretraining (reference train.py:37-67 with
+    BaselineTrain.train_loop, methods/baselinetrain.py:31-43)."""
+    loader = SimpleDataLoader(base_file, image_size, batch_size=16,
+                              aug=params_cli.train_aug, seed=params_cli.seed)
+    model = factory.build_method(params_cli, params_cli.train_n_way, params_cli.n_shot)
+    x0, _ = next(iter(loader))
+    state = model.init(jax.random.PRNGKey(params_cli.seed), jnp.asarray(x0))
+
+    start_epoch = params_cli.start_epoch
+    if params_cli.resume:
+        resume_file = get_resume_file(ckpt_dir)
+        if resume_file is not None:
+            state_params, epoch = load_checkpoint(resume_file, state.params)
+            state = state._replace(params=state_params)
+            start_epoch = epoch + 1
+            print(f"resumed from {resume_file} (epoch {epoch})")
+
+    for epoch in range(start_epoch, stop_epoch):
+        avg_loss, i = 0.0, 0
+        for x, y in loader:
+            state, m = model.train_step(state, jnp.asarray(x), jnp.asarray(y))
+            avg_loss += float(m["loss"])
+            i += 1
+            if i % 10 == 0:
+                print(f"Epoch {epoch} | Batch {i}/{len(loader)} | "
+                      f"Loss {avg_loss / i:.6f}")
+        # baseline has no validation protocol (reference baselinetrain.py:51
+        # returns -1); save every save_freq and at the end
+        if (epoch % params_cli.save_freq == 0) or (epoch == stop_epoch - 1):
+            save_checkpoint(os.path.join(ckpt_dir, f"{epoch}.tar"),
+                            state.params, epoch)
+    # the best model for baseline is the last (no val); keep parity with
+    # test.py's get_best_file fallback to get_resume_file
+    save_checkpoint(os.path.join(ckpt_dir, "best_model.tar"),
+                    state.params, stop_epoch - 1)
+    return state
+
+
+def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir):
+    n_way = params_cli.train_n_way
+    n_support = params_cli.n_shot
+    n_query = factory.train_n_query(params_cli)
+
+    model = factory.build_method(params_cli, n_way, n_support)
+    episode_batch = params_cli.episode_batch
+    if isinstance(model, MAML):
+        # reference accumulates n_task episode losses per outer step
+        # (methods/maml.py:71-98); the episode batch IS that accumulation
+        episode_batch = model.n_task
+
+    n_episodes = getattr(params_cli, "n_train_episodes", 100)
+    base_loader = EpisodicDataLoader(
+        base_file, image_size, n_way, n_support, n_query,
+        n_episodes=n_episodes, episode_batch=episode_batch,
+        aug=params_cli.train_aug, seed=params_cli.seed)
+    val_loader = EpisodicDataLoader(
+        val_file, image_size, params_cli.test_n_way, n_support, n_query,
+        n_episodes=n_episodes, episode_batch=1, aug=False,
+        seed=params_cli.seed + 1)
+
+    example = jnp.zeros((n_way, n_support + n_query, image_size, image_size, 3),
+                        jnp.float32)
+    state = model.init(jax.random.PRNGKey(params_cli.seed), example)
+
+    start_epoch = params_cli.start_epoch
+    if params_cli.resume:
+        resume_file = get_resume_file(ckpt_dir)
+        if resume_file is not None:
+            state_params, epoch = load_checkpoint(resume_file, state.params)
+            state = state._replace(params=state_params)
+            start_epoch = epoch + 1
+            print(f"resumed from {resume_file} (epoch {epoch})")
+    elif params_cli.warmup:
+        from deep_kernel_transfer_tpu.utils.checkpoint import warmup_from_baseline
+
+        warm_dir = ckpt_dir.replace(params_cli.method, "baseline")
+        warm_dir = warm_dir.split("_aug")[0] + "_aug"
+        state = state._replace(
+            params=warmup_from_baseline(warm_dir, state.params))
+
+    max_acc = 0.0
+    for epoch in range(start_epoch, stop_epoch):
+        if isinstance(model, DKT):
+            state = model.reset_opt_state(state)  # reference DKT.py:114-115
+        avg_loss, i = 0.0, 0
+        for xb in base_loader:
+            state, m = model.train_step(state, jnp.asarray(xb))
+            avg_loss += float(m["loss"])
+            i += 1
+            if i % 10 == 0:
+                print(f"Epoch {epoch} | Batch {i}/{len(base_loader)} | "
+                      f"Loss {avg_loss / i:.6f}")
+        acc = _val_acc(model, state.params, val_loader)
+        print(f"Epoch {epoch} | Val acc {acc:.2f}%")
+        if acc > max_acc:  # reference train.py:57-60
+            max_acc = acc
+            save_checkpoint(os.path.join(ckpt_dir, "best_model.tar"),
+                            state.params, epoch)
+            print("best model! save...")
+        if (epoch % params_cli.save_freq == 0) or (epoch == stop_epoch - 1):
+            save_checkpoint(os.path.join(ckpt_dir, f"{epoch}.tar"),
+                            state.params, epoch)
+    return state
+
+
+def main(argv=None):
+    params_cli = parse_args("train", argv)
+    _set_seed(params_cli.seed)
+
+    base_file, val_file = factory.resolve_data_files(params_cli)
+    image_size = factory.resolve_image_size(params_cli)
+    factory.check_model_constraints(params_cli)
+    stop_epoch = (params_cli.stop_epoch if params_cli.stop_epoch != -1
+                  else factory.default_stop_epoch(params_cli))
+
+    ckpt_dir = factory.checkpoint_dir(params_cli)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    print(f"checkpoint dir: {ckpt_dir} | epochs: {stop_epoch} | "
+          f"devices: {jax.device_count()}")
+
+    if params_cli.method in ("baseline", "baseline++"):
+        return train_baseline(params_cli, base_file, image_size, stop_epoch,
+                              ckpt_dir)
+    return train_meta(params_cli, base_file, val_file, image_size, stop_epoch,
+                      ckpt_dir)
+
+
+if __name__ == "__main__":
+    main()

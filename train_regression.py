@@ -1,0 +1,67 @@
+"""Regression training CLI — rebuild of reference train_regression.py.
+
+QMUL head-pose trajectories: Conv3 features + ExactGP (DKT) or Linear head
+(transfer). Each epoch samples one random trajectory batch over the 24
+train people and takes either one vmapped-batch step (TPU default) or one
+step per person (--task_batch=1 scan, strict reference parity —
+reference methods/DKT_regression.py:45-64).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deep_kernel_transfer_tpu import factory
+from deep_kernel_transfer_tpu.data import get_batch, train_people
+from deep_kernel_transfer_tpu.io_utils import parse_args_regression
+from deep_kernel_transfer_tpu.methods import DKTRegression, FeatureTransfer
+from deep_kernel_transfer_tpu.models.backbones import feat_dims, model_dict
+from deep_kernel_transfer_tpu.utils.checkpoint import save_checkpoint
+
+
+def build_regression_method(params_cli):
+    backbone = model_dict[params_cli.model]()
+    feat_dim = feat_dims[params_cli.model]
+    if params_cli.method == "DKT":
+        kernel = "spectral" if params_cli.spectral else "rbf"
+        return DKTRegression(backbone, feat_dim=feat_dim, kernel_type=kernel)
+    if params_cli.method == "transfer":
+        return FeatureTransfer(backbone)
+    raise ValueError(f"Unknown regression method {params_cli.method}")
+
+
+def main(argv=None):
+    params_cli = parse_args_regression("train_regression", argv)
+    np.random.seed(params_cli.seed)
+    rng = np.random.RandomState(params_cli.seed)
+
+    model = build_regression_method(params_cli)
+    example_x = jnp.zeros((19, 100, 100, 3), jnp.float32)
+    if params_cli.method == "transfer":
+        state = model.init(jax.random.PRNGKey(params_cli.seed), example_x)
+    else:
+        state = model.init(jax.random.PRNGKey(params_cli.seed), example_x)
+
+    ckpt_dir = factory.regression_checkpoint_dir(params_cli)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    print(f"checkpoint dir: {ckpt_dir}")
+
+    for epoch in range(params_cli.start_epoch, params_cli.stop_epoch):
+        xb, yb = get_batch(train_people, rng)
+        xb, yb = jnp.asarray(xb), jnp.asarray(yb)
+        if params_cli.task_batch == 1 and hasattr(model, "unbatched_train_step"):
+            state, m = model.unbatched_train_step(state, xb, yb)
+        else:
+            state, m = model.train_step(state, xb, yb)
+        print(f"[{epoch:03d}] loss: {float(m['loss']):.4f}")
+
+    save_checkpoint(os.path.join(ckpt_dir, "best_model.tar"), state.params,
+                    params_cli.stop_epoch - 1)
+    print(f"saved {ckpt_dir}/best_model.tar")
+
+
+if __name__ == "__main__":
+    main()
