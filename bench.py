@@ -35,14 +35,20 @@ def _measure_jax() -> float:
     state = model.init(jax.random.PRNGKey(0), x1)
     xb = jax.random.uniform(jax.random.PRNGKey(1), (EP_BATCH,) + x1.shape)
 
+    def _sync(state, m) -> float:
+        # On the axon tunnel platform block_until_ready can return at
+        # enqueue-ack, not completion — force a genuine device->host
+        # readback of data produced by the step instead.
+        return float(jax.tree.leaves(state.params)[0].sum()) + float(m["loss"])
+
     state, m = model.train_step(state, xb)  # compile
-    jax.block_until_ready(m["loss"])
+    _sync(state, m)
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, m = model.train_step(state, xb)
-    jax.block_until_ready(m["loss"])
+    _sync(state, m)
     dt = time.perf_counter() - t0
     return n_iters * EP_BATCH / dt
 

@@ -9,6 +9,7 @@ from .exact import (
     sum_mll,
 )
 from .kernels import Kernel, make_kernel, normalizes_features
+from .laplace import laplace_ovr_predict, laplace_predict_proba
 from .likelihoods import GaussianLikelihood
 from .means import constant_mean, constant_mean_init
 
@@ -22,6 +23,8 @@ __all__ = [
     "Kernel",
     "make_kernel",
     "normalizes_features",
+    "laplace_ovr_predict",
+    "laplace_predict_proba",
     "GaussianLikelihood",
     "constant_mean",
     "constant_mean_init",

@@ -200,6 +200,26 @@ class DKT:
         pred = jnp.argmax(scores, axis=-1)
         return float(jnp.sum(pred == y_query)), n_way * n_query
 
+    def correct_laplace(self, params, x: Array) -> tuple[float, int]:
+        """Laplace-approximation test head (reference methods/DKT.py:207-222:
+        sklearn GaussianProcessClassifier with 1.0*RBF(0.1) on the support
+        features) — rebuilt as a vmapped JAX Laplace GPC, so it runs
+        on-device instead of sklearn-on-CPU."""
+        from ..gp.laplace import laplace_ovr_predict
+
+        n_way, n_total = x.shape[0], x.shape[1]
+        n_support = self.n_support
+        n_query = n_total - n_support
+        z_all = self._features(params, flatten_episode(x))
+        d = z_all.shape[-1]
+        z = z_all.reshape(n_way, n_total, d)
+        z_support = z[:, :n_support].reshape(n_way * n_support, d)
+        z_query = z[:, n_support:].reshape(-1, d)
+        y_support = episode_labels(n_way, n_support)
+        pred = laplace_ovr_predict(z_support, y_support, z_query, n_way)
+        y_query = episode_labels(n_way, n_query)
+        return float(jnp.sum(pred == y_query)), n_way * n_query
+
     # -- test-time GP adaptation (reference correct(N>0), DKT.py:249-256) --
 
     def adapt_gp(self, params, x: Array, steps: int, lr: float = 1e-3):

@@ -100,17 +100,19 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
             novel_file, image_size, n_way, n_support, n_query,
             n_episodes=params_cli.n_iter, episode_batch=1, aug=False,
             seed=seed)
-        if isinstance(model, DKT) and params_cli.adaptation:
-            accs = []
-            for xb in loader:
-                p = model.adapt_gp(params, jnp.asarray(xb[0]), steps=100)
-                c, n = model.correct(p, jnp.asarray(xb[0]))
-                accs.append(c / n * 100)
-        else:
-            accs = []
-            for xb in loader:
-                c, n = model.correct(params, jnp.asarray(xb[0]))
-                accs.append(c / n * 100)
+        accs = []
+        for xb in loader:
+            x = jnp.asarray(xb[0])
+            if isinstance(model, DKT) and getattr(params_cli, "laplace", False):
+                # Laplace-approximation head (reference test.py --laplace ->
+                # DKT.correct(laplace=True), methods/DKT.py:207-222)
+                c, n = model.correct_laplace(params, x)
+            elif isinstance(model, DKT) and params_cli.adaptation:
+                p = model.adapt_gp(params, x, steps=100)
+                c, n = model.correct(p, x)
+            else:
+                c, n = model.correct(params, x)
+            accs.append(c / n * 100)
         accs = np.asarray(accs)
         return float(accs.mean()), ci95(accs)
 

@@ -1,0 +1,82 @@
+"""Dataset-prep writer tests (SURVEY.md §2 component 20) on fake trees."""
+import json
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "filelists_tpu"))
+
+from common import folder_split_filelists, write_filelist_json  # noqa: E402
+
+
+def _fake_tree(root, n_classes=8, n_img=3, ext="jpg"):
+    for c in range(n_classes):
+        d = root / f"class_{c:03d}"
+        d.mkdir(parents=True)
+        for i in range(n_img):
+            Image.fromarray(
+                (np.ones((8, 8, 3)) * 10 * c).astype(np.uint8)
+            ).save(d / f"img_{i}.{ext}")
+
+
+def test_cub_style_split(tmp_path):
+    data = tmp_path / "images"
+    _fake_tree(data)
+    folder_split_filelists(
+        str(data), str(tmp_path),
+        {"base": lambda i: i % 2 == 0,
+         "val": lambda i: i % 4 == 1,
+         "novel": lambda i: i % 4 == 3}, seed=0)
+    metas = {}
+    for split in ("base", "val", "novel"):
+        with open(tmp_path / f"{split}.json") as f:
+            metas[split] = json.load(f)
+    assert len(metas["base"]["image_names"]) == 4 * 3  # classes 0,2,4,6
+    assert len(metas["val"]["image_names"]) == 2 * 3  # classes 1,5
+    assert len(metas["novel"]["image_names"]) == 2 * 3  # classes 3,7
+    # splits are class-disjoint
+    base_labels = set(metas["base"]["image_labels"])
+    val_labels = set(metas["val"]["image_labels"])
+    novel_labels = set(metas["novel"]["image_labels"])
+    assert not (base_labels & val_labels) and not (base_labels & novel_labels)
+    assert not (val_labels & novel_labels)
+    # loadable by the data pipeline
+    from deep_kernel_transfer_tpu.data.filelist import FileListMeta
+
+    meta = FileListMeta(str(tmp_path / "base.json"))
+    assert len(meta.by_class()) == 4
+
+
+def test_omniglot_rotation_and_writer(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "filelists_tpu", "omniglot"))
+    from rot_omniglot import rotate_all
+    from write_cross_char_base_filelist import main as write_nolatin
+
+    images = tmp_path / "images"
+    for lang in ("Latin", "Greek"):
+        for ch in ("character01", "character02"):
+            d = images / lang / ch
+            d.mkdir(parents=True)
+            Image.fromarray(np.zeros((8, 8), np.uint8)).save(d / "a.png")
+    rotate_all(str(images))
+    for deg in ("rot000", "rot090", "rot180", "rot270"):
+        assert (images / "Greek" / "character01" / deg / "a.png").is_file()
+
+    write_nolatin(str(images), str(tmp_path), seed=0)
+    with open(tmp_path / "noLatin.json") as f:
+        meta = json.load(f)
+    assert all("Latin" not in n for n in meta["label_names"])
+    assert len(meta["label_names"]) == 2  # Greek's two characters
+    # only original pngs, not the rotated copies
+    assert len(meta["image_names"]) == 2
+
+
+def test_write_filelist_json_roundtrip(tmp_path):
+    p = tmp_path / "x.json"
+    write_filelist_json(str(p), ["a"], ["f1.jpg", "f2.jpg"], np.array([0, 0]))
+    with open(p) as f:
+        d = json.load(f)
+    assert d["image_labels"] == [0, 0]
