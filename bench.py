@@ -19,7 +19,7 @@ import os
 import time
 
 N_WAY, N_SUPPORT, N_QUERY, HW = 5, 5, 15, 84
-EP_BATCH = 8
+EP_BATCH = 16
 _BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
 
 

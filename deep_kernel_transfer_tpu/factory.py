@@ -107,7 +107,8 @@ def build_method(params, n_way: int, n_support: int):
     if method == "baseline++":
         return BaselineTrain(model_fn(), params.num_classes, loss_type="dist")
     if method == "DKT":
-        return DKT(model_fn(), n_way, n_support, kernel_type=kernel_type(params))
+        return DKT(model_fn(), n_way, n_support, kernel_type=kernel_type(params),
+                   feature_dtype=getattr(params, "feature_dtype", "bfloat16"))
     if method == "protonet":
         return ProtoNet(model_fn(), n_way, n_support)
     if method == "matchingnet":

@@ -38,6 +38,9 @@ def parse_args(script: str, argv=None):
                         help="episodes per device step (vmapped batch)")
     parser.add_argument("--n_devices", default=None, type=int,
                         help="devices in the episode-parallel mesh (default all)")
+    parser.add_argument("--feature_dtype", default="bfloat16",
+                        help="trunk compute dtype: bfloat16 (MXU-native, "
+                             "default) or float32 (exact parity)")
 
     if script == "train":
         parser.add_argument("--num_classes", default=200, type=int,
