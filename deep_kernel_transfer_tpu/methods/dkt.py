@@ -81,6 +81,7 @@ class DKT:
         feature_lr: float = 1e-3,
         noise: float = 0.1,
         feature_dtype: str = "bfloat16",
+        use_pallas_mll: bool = False,
     ):
         self.n_way = n_way
         self.n_support = n_support
@@ -90,6 +91,7 @@ class DKT:
         # normalisation, and ALL GP numerics stay float32. Set
         # feature_dtype="float32" for exact-parity arithmetic.
         self.feature_dtype = jnp.dtype(feature_dtype)
+        self.use_pallas_mll = use_pallas_mll
         self.normalize = normalizes_features(kernel_type)
         self.feature = DKTFeature(backbone, bn_out=(kernel_type == "bncossim"))
         # Fixed, non-trainable observation noise (reference DKT.py:346-347).
@@ -143,8 +145,35 @@ class DKT:
 
     def batch_loss(self, params, xb: Array) -> Array:
         """Mean episode loss over a batch [B, n_way, S+Q, ...]."""
+        if self.use_pallas_mll:
+            from ..ops.pallas.fused_mll import supports
+
+            n = xb.shape[1] * xb.shape[2]
+            if supports(self.kernel_type, n):
+                return self._batch_loss_pallas(params, xb)
         losses = jax.vmap(lambda x: self.episode_loss(params, x))(xb)
         return jnp.mean(losses)
+
+    def _batch_loss_pallas(self, params, xb: Array) -> Array:
+        """Fused-kernel episode batch loss (ops/pallas/fused_mll.py): one
+        Pallas program per episode does Gram+Cholesky+solves+MLL in VMEM.
+        Off by default — see the kernel docstring for measured timings."""
+        from ..gp.kernels import softplus
+        from ..ops.pallas.fused_mll import fused_linear_mll
+
+        n_way, n_total = xb.shape[1], xb.shape[2]
+        n = n_way * n_total
+        z = jax.vmap(lambda x: self._features(params, flatten_episode(x)))(xb)
+        targets = one_vs_rest_targets(n_way, n_total)  # [W, N]
+        gp = params["gp"]
+        diffs = targets - gp["mean"]["constant"][:, None]
+        scales = softplus(gp["kernel"]["raw_outputscale"])
+        base = gp["kernel"].get("base", {})
+        if "raw_variance" in base:  # 'linear' kernel_type
+            scales = scales * softplus(base["raw_variance"])
+        mll = fused_linear_mll(z, diffs, scales, n,
+                               float(self.gp.likelihood.fixed_noise))
+        return -jnp.mean(jnp.sum(mll, axis=1))
 
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state: DKTState, xb: Array) -> tuple[DKTState, dict]:

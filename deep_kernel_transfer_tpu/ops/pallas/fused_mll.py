@@ -1,0 +1,259 @@
+"""Fused Pallas kernel: Gram + scale + noise + Cholesky + solves + MLL.
+
+The DKT classification hot path (reference methods/DKT.py:160-163 via
+GPyTorch) is, per episode: G = Z Z^T once, then for each of n_way
+one-vs-rest GPs K_w = s_w G + sigma^2 I -> Cholesky -> alpha -> MLL. This
+kernel does ALL of it for one episode in a single Pallas program: the Gram
+matmul runs on the MXU, the factorisation/solves run vectorised on the VPU,
+and none of the [N, N] intermediates ever round-trips through HBM.
+
+Sizes: every reference configuration has N = n_way*(S+Q) <= 105, so one
+(128, 128) f32 tile holds the whole matrix; N is padded to 128 with an
+identity block (unit diagonal, zero off-diagonal, zero targets) that
+contributes exactly zero to logdet and quadratic form. Larger support sets
+fall back to the XLA path (deep_kernel_transfer_tpu/gp/exact.py).
+
+Measured on one v5e chip (B=16 episodes, N=100, D=1600, W=5):
+forward 7.7ms vs XLA 4.2ms; grad 8.4ms vs XLA 3.7ms — XLA's native batched
+Cholesky wins at single-tile sizes because the Mosaic lowering forbids
+dynamically-indexed lane reads, forcing each of the N sequential
+factorisation steps to be a full-tile masked reduce. The kernel is
+therefore OFF by default (DKT(use_pallas_mll=False)) and kept as the
+foundation for the blocked multi-tile regime (N >> 128), where fusing the
+Gram assembly into the factorisation saves the HBM round-trips that
+dominate, and XLA's one-shot Cholesky no longer fits VMEM.
+
+The backward pass is a custom VJP over the kernel outputs (chol, alpha)
+using the closed-form MLL gradient
+    d mll / dK = 0.5/N (alpha alpha^T - K^{-1}),   d mll / d diff = -alpha/N
+with the K^{-1} triangular solves done by XLA (they are batched and fast
+there; only the latency-bound sequential factorisation benefits from the
+in-VMEM kernel).
+
+Numerical safety: only used with a fixed observation noise (classification
+pins noise=0.1, reference methods/DKT.py:346-347), so K is bounded away
+from singular by construction; a small constant jitter matches the XLA
+path's escalation start.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_LOG_2PI = 1.8378770664093453
+NP = 128  # padded matrix size — one f32 VMEM tile
+
+
+def _episode_kernel(z_ref, diffs_ref, scales_ref, out_ref, chol_ref,
+                    alpha_ref, gram, A, mllrow, *, n_real: int, n_way: int,
+                    noise: float, jitter: float):
+    """One grid program = one episode. Refs:
+      z_ref     [1, NP, D]   padded features (zero rows beyond n_real)
+      diffs_ref [W, NP]      (targets - mean) per way, zero-padded
+      scales_ref[W, 1]       per-way outputscale (softplus applied outside)
+      out_ref   [1, 1, 128]  -> mll per way in [0, 0, :W] (lane-padded)
+      chol_ref  [1, W, NP, NP], alpha_ref [1, W, NP]  -> residuals for VJP
+      gram, A   [NP, NP] VMEM scratch
+    """
+    z = z_ref[0]
+    # MXU: G = Z Z^T (padded rows are zero -> zero rows/cols in G)
+    gram[...] = jax.lax.dot_general(
+        z, z, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    rows2d = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 0)
+    cols2d = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)
+    rows1d = jax.lax.broadcasted_iota(jnp.int32, (NP, 1), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    diag = rows2d == cols2d
+    real_diag = diag & (rows2d < n_real)
+    pad_diag = diag & (rows2d >= n_real)
+
+    for w in range(n_way):  # static unroll over ways
+        s = scales_ref[w, 0]
+        K = s * gram[...]
+        K = jnp.where(real_diag, K + (noise + jitter), K)
+        # pad block: off-diagonals already zero (zero Gram rows); unit diag
+        A[...] = jnp.where(pad_diag, 1.0, K)
+
+        # ---- in-place right-looking Cholesky (VPU) -----------------------
+        # Mosaic forbids dynamically-indexed lane reads, so every access is
+        # a full-tile mask + reduce: column j of A is extracted by masking
+        # cols2d == j and reducing over lanes. After iteration j, column j
+        # of A holds column j of L (zeros above the diagonal); the pad
+        # columns never change (zero Gram rows), so on exit A IS L exactly.
+        def chol_step(j, _):
+            Av = A[...]
+            colj = jnp.sum(jnp.where(cols2d == j, Av, 0.0), axis=1,
+                           keepdims=True)  # [NP, 1]
+            d2 = jnp.sum(jnp.where(rows1d == j, colj, 0.0))
+            d = jnp.sqrt(d2)
+            col_below = jnp.where(rows1d > j, colj / d, 0.0)
+            newcol = jnp.where(rows1d == j, d, col_below)
+            updated = Av - col_below * col_below.reshape(1, NP)
+            A[...] = jnp.where(cols2d == j, newcol, updated)
+            return 0
+
+        jax.lax.fori_loop(0, n_real, chol_step, 0)
+        L = A[...]
+        chol_ref[0, w] = L
+
+        # ---- forward substitution: L y = diff (column sweep) -------------
+        # residual sweep: once y_i is known, subtract y_i * L[:, i] from the
+        # remaining RHS; all extractions are masked reduces.
+        diag_col = jnp.sum(jnp.where(diag, L, 0.0), axis=1,
+                           keepdims=True)  # [NP, 1] diag of L
+
+        def fwd_step(i, r):
+            ri = jnp.sum(jnp.where(rows1d == i, r, 0.0))
+            lii = jnp.sum(jnp.where(rows1d == i, diag_col, 0.0))
+            yi = ri / lii
+            coli = jnp.sum(jnp.where(cols2d == i, L, 0.0), axis=1,
+                           keepdims=True)
+            below = jnp.where(rows1d > i, coli, 0.0)
+            r = r - yi * below
+            return jnp.where(rows1d == i, yi, r)
+
+        y_sol = jax.lax.fori_loop(0, n_real, fwd_step,
+                                  diffs_ref[w, :].reshape(NP, 1))
+        quad = jnp.sum(y_sol * y_sol)  # diff^T K^-1 diff = ||y||^2
+
+        # ---- back substitution: L^T alpha = y (column sweep with rows) ---
+        def bwd_step(t, r):
+            i = n_real - 1 - t
+            ri = jnp.sum(jnp.where(rows1d == i, r, 0.0))
+            lii = jnp.sum(jnp.where(rows1d == i, diag_col, 0.0))
+            ai = ri / lii
+            # column i of L^T = row i of L, as a column vector
+            rowi = jnp.sum(jnp.where(rows2d == i, L, 0.0), axis=0,
+                           keepdims=True).reshape(NP, 1)
+            above = jnp.where(rows1d < i, rowi, 0.0)
+            r = r - ai * above
+            return jnp.where(rows1d == i, ai, r)
+
+        alpha_col = jax.lax.fori_loop(0, n_real, bwd_step, y_sol)
+        alpha_ref[0, w] = alpha_col.reshape(NP)
+
+        # pad diagonal is exactly 1.0 -> contributes log(1) = 0
+        diag_col = jnp.sum(jnp.where(diag, A[...], 0.0), axis=1,
+                           keepdims=True)  # [NP, 1]
+        logdet = 2.0 * jnp.sum(jnp.log(diag_col))
+        mll_w = -0.5 * (quad + logdet + n_real * _LOG_2PI) / n_real
+        # scalar VMEM stores are unsupported: mask the value into a lane row
+        init = mllrow[...] if w > 0 else jnp.zeros((1, 128), jnp.float32)
+        mllrow[...] = jnp.where(lanes == w, mll_w, init)
+
+    out_ref[0] = mllrow[...]
+
+
+def _forward(z_pad: Array, diffs_pad: Array, scales: Array, n_real: int,
+             noise: float, jitter: float):
+    """z_pad [B, NP, D], diffs_pad [W, NP], scales [W] -> (mll [B, W],
+    chol [B, W, NP, NP], alpha [B, W, NP])."""
+    b, npad, d = z_pad.shape
+    w = diffs_pad.shape[0]
+    kern = functools.partial(_episode_kernel, n_real=n_real, n_way=w,
+                             noise=noise, jitter=jitter)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, npad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, npad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, npad, npad), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, npad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, w, npad, npad), jnp.float32),
+            jax.ShapeDtypeStruct((b, w, npad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((npad, npad), jnp.float32),
+            pltpu.VMEM((npad, npad), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
+        ],
+    )(z_pad, diffs_pad, scales.reshape(w, 1))
+
+
+def _pad(z, diffs):
+    b, n, d = z.shape
+    z_pad = jnp.zeros((b, NP, d), jnp.float32).at[:, :n].set(z)
+    diffs_pad = jnp.zeros((diffs.shape[0], NP), jnp.float32).at[:, :n].set(diffs)
+    return z_pad, diffs_pad
+
+
+def _fwd_impl(z, diffs, scales, n_real, noise, jitter):
+    z_pad, diffs_pad = _pad(z, diffs)
+    mll_pad, chol, alpha = _forward(z_pad, diffs_pad, scales, n_real, noise,
+                                    jitter)
+    return mll_pad[:, 0, :diffs.shape[0]], chol, alpha
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_linear_mll(z: Array, diffs: Array, scales: Array, n_real: int,
+                     noise: float, jitter: float = 1e-6) -> Array:
+    """Batched one-vs-rest linear-kernel MLLs: [B, W].
+
+    z [B, N, D] features (N = n_real, unpadded), diffs [W, N] = targets -
+    mean, scales [W] positive outputscales; K_w = s_w Z Z^T + noise I.
+    Matches ExactGP.mll (incl. the gpytorch 1/N scaling) for the
+    scale(linear) kernel family — see tests/test_pallas_mll.py.
+    """
+    mll, _, _ = _fwd_impl(z, diffs, scales, n_real, noise, jitter)
+    return mll
+
+
+def _vjp_fwd(z, diffs, scales, n_real, noise, jitter):
+    mll, chol, alpha = _fwd_impl(z, diffs, scales, n_real, noise, jitter)
+    return mll, (z, diffs, scales, chol, alpha)
+
+
+def _vjp_bwd(n_real, noise, jitter, residuals, g):
+    """g [B, W] -> (dz, ddiffs, dscales)."""
+    z, diffs, scales, chol, alpha = residuals
+    n = n_real
+    b, _, _ = z.shape
+    w = diffs.shape[0]
+    L = chol[:, :, :n, :n]  # [B, W, n, n]
+    a = alpha[:, :, :n]  # [B, W, n]
+
+    # K^{-1} via batched triangular solves (XLA)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (b, w, n, n))
+    linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    kinv = jnp.einsum("bwij,bwik->bwjk", linv, linv)  # K^-1 = L^-T L^-1
+
+    # d mll/dK = 0.5/N (alpha alpha^T - K^-1), weighted by upstream g
+    dK = (0.5 / n) * (jnp.einsum("bwi,bwj->bwij", a, a) - kinv)
+    dK = dK * g[:, :, None, None]
+
+    # K_w = s_w Z Z^T + noise I
+    dK_sym = dK + jnp.swapaxes(dK, -1, -2)
+    dz = jnp.einsum("bwij,w,bjd->bid", dK_sym, scales, z)
+    G = jnp.einsum("bid,bjd->bij", z, z)
+    dscales = jnp.einsum("bwij,bij->w", dK, G)
+    ddiffs = -jnp.einsum("bw,bwi->wi", g, a) / n
+    return dz, ddiffs, dscales
+
+
+fused_linear_mll.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def supports(kernel_type: str, n: int) -> bool:
+    """Whether the fused kernel applies (linear family, single tile)."""
+    return kernel_type.lower() in ("cossim", "bncossim", "linear") and n <= NP

@@ -1,0 +1,92 @@
+"""Fused Pallas GP-MLL kernel tests.
+
+The suite's conftest pins JAX to a virtual CPU mesh, and Mosaic interpret
+mode is prohibitively slow here (~80s for a trivial kernel), so the real
+parity check runs in a SUBPROCESS against the default (TPU) platform and is
+skipped when no TPU is reachable.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+_PARITY_SCRIPT = r"""
+import numpy as np, jax, jax.numpy as jnp
+if jax.default_backend() not in ("tpu", "axon"):
+    print("NO_TPU"); raise SystemExit(0)
+from deep_kernel_transfer_tpu.ops.pallas import fused_mll as fm
+
+rng = np.random.RandomState(0)
+B, N, D, W = 3, 30, 96, 5
+z = rng.randn(B, N, D).astype(np.float32)
+z /= np.linalg.norm(z, axis=-1, keepdims=True)
+labels = np.arange(N) % W
+diffs = np.where(labels[None,:] == np.arange(W)[:,None], 1.0, -1.0).astype(np.float32)
+diffs = diffs - 0.13  # non-zero constant mean exercises the diff path
+scales = np.linspace(0.4, 1.5, W).astype(np.float32)
+
+def ref_mll(z, diffs, scales):
+    def one(zb, dw, sw):
+        K = sw * (zb @ zb.T) + (0.1 + 1e-6) * jnp.eye(N)
+        L = jnp.linalg.cholesky(K)
+        al = jax.scipy.linalg.cho_solve((L, True), dw)
+        return -0.5*(dw @ al + 2*jnp.sum(jnp.log(jnp.diagonal(L)))
+                     + N*1.8378770664093453)/N
+    return jax.vmap(lambda zb: jax.vmap(lambda dw, sw: one(zb, dw, sw))(diffs, scales))(z)
+
+za, da, sa = jnp.asarray(z), jnp.asarray(diffs), jnp.asarray(scales)
+expected = np.asarray(ref_mll(za, da, sa))
+got = np.asarray(fm.fused_linear_mll(za, da, sa, N, 0.1))
+assert np.abs(expected - got).max() < 1e-5, (expected, got)
+
+gp = jax.grad(lambda z,d,s: -jnp.sum(fm.fused_linear_mll(z,d,s,N,0.1)), argnums=(0,1,2))(za, da, sa)
+gr = jax.grad(lambda z,d,s: -jnp.sum(ref_mll(z,d,s)), argnums=(0,1,2))(za, da, sa)
+for a, b in zip(gp, gr):
+    denom = float(jnp.abs(b).max()) + 1e-8
+    assert float(jnp.abs(a-b).max()) / denom < 2e-2, (a, b)
+print("PARITY_OK")
+"""
+
+_DKT_SCRIPT = r"""
+import numpy as np, jax, jax.numpy as jnp
+if jax.default_backend() not in ("tpu", "axon"):
+    print("NO_TPU"); raise SystemExit(0)
+from deep_kernel_transfer_tpu.methods import DKT
+from deep_kernel_transfer_tpu.models.backbones import ConvNetS
+
+x = jnp.asarray(np.random.RandomState(0).rand(2, 3, 5, 16, 16, 3), jnp.float32)
+losses = {}
+for flag in (False, True):
+    m = DKT(ConvNetS(depth=2), 3, 2, kernel_type="bncossim",
+            feature_dtype="float32", use_pallas_mll=flag)
+    st = m.init(jax.random.PRNGKey(0), x[0])
+    losses[flag] = float(m.batch_loss(st.params, x))
+assert abs(losses[True] - losses[False]) < 1e-4 * max(1, abs(losses[False])), losses
+print("DKT_OK", losses)
+"""
+
+
+def _run_on_tpu(script: str, marker: str):
+    # drop the conftest's CPU-mesh pins but KEEP the rest of the env —
+    # PYTHONPATH carries the TPU platform plugin
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + repo)
+    result = subprocess.run([sys.executable, "-c", script], env=env,
+                            capture_output=True, text=True, timeout=540)
+    out = result.stdout + result.stderr
+    if "NO_TPU" in out:
+        pytest.skip("no TPU platform available")
+    assert result.returncode == 0, out
+    assert marker in out, out
+
+
+def test_fused_mll_parity_on_tpu():
+    _run_on_tpu(_PARITY_SCRIPT, "PARITY_OK")
+
+
+def test_dkt_pallas_flag_matches_xla_on_tpu():
+    _run_on_tpu(_DKT_SCRIPT, "DKT_OK")
