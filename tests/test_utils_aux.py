@@ -1,0 +1,72 @@
+"""Aux-subsystem tests: metrics logger, step timer, calibration metrics."""
+import json
+
+import numpy as np
+
+from deep_kernel_transfer_tpu.utils import MetricsLogger, StepTimer
+from deep_kernel_transfer_tpu.utils.metrics import (
+    DBindex,
+    calibrate_temperature,
+    ece,
+    sparsity,
+)
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    logger = MetricsLogger(str(tmp_path), tensorboard=False)
+    logger.log_scalars(0, loss=1.5, test_accuracy=20.0)
+    logger.log_scalars(1, loss=1.2, test_accuracy=35.0)
+    logger.log_histogram(1, "z_support", np.random.randn(100))
+    logger.close()
+    lines = [json.loads(l) for l in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 1
+    assert "z_support/mean" in lines[2]
+
+
+def test_step_timer_phases():
+    timer = StepTimer()
+    with timer.phase("a"):
+        sum(range(1000))
+    with timer.phase("a"):
+        pass
+    s = timer.summary()
+    assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
+    assert "a" in timer.report()
+
+
+def test_ece_perfect_and_awful():
+    # confident & correct -> tiny ECE
+    logits = np.zeros((200, 5))
+    labels = np.random.RandomState(0).randint(0, 5, 200)
+    logits[np.arange(200), labels] = 10.0
+    assert ece(logits, labels) < 0.02
+    # confident & always wrong -> huge ECE
+    wrong = (labels + 1) % 5
+    logits2 = np.zeros((200, 5))
+    logits2[np.arange(200), wrong] = 10.0
+    assert ece(logits2, labels) > 0.9
+    # one-vs-rest normalisation stays in [0, 1]
+    assert 0.0 <= ece(logits, labels, one_vs_rest=True) <= 1.0
+
+
+def test_temperature_scaling_reduces_overconfidence():
+    rng = np.random.RandomState(1)
+    labels = rng.randint(0, 4, 500)
+    # logits point at the label but only weakly informative + overconfident
+    logits = rng.randn(500, 4) * 0.5
+    logits[np.arange(500), labels] += 1.0
+    logits *= 8.0  # overconfident scaling
+    t = calibrate_temperature(logits, labels)
+    assert t > 2.0  # recovers a big temperature
+    assert ece(logits, labels, temperature=t) < ece(logits, labels)
+
+
+def test_dbindex_and_sparsity():
+    rng = np.random.RandomState(2)
+    tight = {0: list(rng.randn(20, 8) * 0.1), 1: list(rng.randn(20, 8) * 0.1 + 5)}
+    loose = {0: list(rng.randn(20, 8) * 3.0), 1: list(rng.randn(20, 8) * 3.0 + 1)}
+    assert DBindex(tight) < DBindex(loose)
+    # reference utils.py:26-31 counts nonzero entries
+    feats = {0: [np.array([0.0, 1.0, 0.0, 2.0])]}
+    assert abs(sparsity(feats) - 2.0) < 1e-6

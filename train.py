@@ -26,6 +26,7 @@ from deep_kernel_transfer_tpu.utils.checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
+from deep_kernel_transfer_tpu.utils.logger import MetricsLogger
 
 
 def _set_seed(seed: int) -> None:
@@ -125,20 +126,28 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         state = state._replace(
             params=warmup_from_baseline(warm_dir, state.params))
 
+    # scalar stream (reference's optional tensorboardX writer,
+    # methods/DKT.py:16-21): JSONL in <ckpt_dir>/log + TB if importable
+    logger = MetricsLogger(os.path.join(ckpt_dir, "log"))
+
     max_acc = 0.0
     for epoch in range(start_epoch, stop_epoch):
         if isinstance(model, DKT):
             state = model.reset_opt_state(state)  # reference DKT.py:114-115
         avg_loss, i = 0.0, 0
+        extra = {}
         for xb in base_loader:
             state, m = model.train_step(state, jnp.asarray(xb))
             avg_loss += float(m["loss"])
             i += 1
+            extra = {k: float(v) for k, v in m.items() if k != "loss"}
             if i % 10 == 0:
                 print(f"Epoch {epoch} | Batch {i}/{len(base_loader)} | "
                       f"Loss {avg_loss / i:.6f}")
         acc = _val_acc(model, state.params, val_loader)
         print(f"Epoch {epoch} | Val acc {acc:.2f}%")
+        logger.log_scalars(epoch, loss=avg_loss / max(i, 1),
+                           test_accuracy=acc, **extra)
         if acc > max_acc:  # reference train.py:57-60
             max_acc = acc
             save_checkpoint(os.path.join(ckpt_dir, "best_model.tar"),
@@ -147,6 +156,7 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         if (epoch % params_cli.save_freq == 0) or (epoch == stop_epoch - 1):
             save_checkpoint(os.path.join(ckpt_dir, f"{epoch}.tar"),
                             state.params, epoch)
+    logger.close()
     return state
 
 
