@@ -24,7 +24,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from .transforms import TransformPipeline, load_image
+from .transforms import TransformPipeline
 
 
 class FileListMeta:
@@ -63,7 +63,7 @@ class SimpleDataLoader:
         for i in range(len(self)):
             idx = order[i * self.batch_size:(i + 1) * self.batch_size]
             imgs = np.stack(
-                [self.transform(load_image(self.meta.image_names[j])) for j in idx]
+                [self.transform.load(self.meta.image_names[j]) for j in idx]
             )
             labels = self.meta.image_labels[idx]
             yield imgs, labels
@@ -113,7 +113,7 @@ class EpisodicDataLoader:
             replace = len(paths) < self.k
             img_ids = self.rng.choice(len(paths), self.k, replace=replace)
             episode.append(
-                np.stack([self.transform(load_image(paths[j])) for j in img_ids])
+                np.stack([self.transform.load(paths[j]) for j in img_ids])
             )
         return np.stack(episode)  # [n_way, S+Q, H, W, C]
 

@@ -235,6 +235,34 @@ def spectral_mixture_kernel(num_mixtures: int, ard_num_dims: int) -> Kernel:
     return Kernel(init, apply)
 
 
+def initialize_spectral_from_data(params: dict, x: "Array", y: "Array",
+                                  key: "Array") -> dict:
+    """Data-driven spectral-mixture init (gpytorch's initialize_from_data
+    heuristic; OPTIONAL — the reference never calls it, so random init is
+    the parity default).
+
+    Heuristic: mixture weights = std(y)/Q; frequency means ~ U(0,
+    0.5/min_dist) per dim (Nyquist-bounded); inverse scales ~ |N(0,1)| /
+    max_dist per dim. Returns updated raw params (inverse-softplus'd).
+    """
+    q, d = params["raw_means"].shape
+    xs = jnp.sort(x, axis=0)  # [N, D]
+    gaps = jnp.diff(xs, axis=0)  # [N-1, D]
+    min_dist = jnp.min(jnp.where(gaps > 0, gaps, jnp.inf), axis=0)  # [D]
+    min_dist = jnp.where(jnp.isfinite(min_dist), min_dist, 1.0)
+    max_dist = jnp.maximum(xs[-1] - xs[0], 1e-6)  # [D]
+
+    k1, k2 = jax.random.split(key)
+    means = jax.random.uniform(k1, (q, d)) * (0.5 / min_dist)[None, :]
+    scales = jnp.abs(jax.random.normal(k2, (q, d))) / max_dist[None, :] + 1e-6
+    weights = jnp.full((q,), jnp.std(y) / q) + 1e-6
+    return {
+        "raw_weights": inv_softplus(weights),
+        "raw_means": inv_softplus(jnp.maximum(means, 1e-6)),
+        "raw_scales": inv_softplus(scales),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Registry: kernel_type strings of the reference config (configs.py:7)
 # ---------------------------------------------------------------------------

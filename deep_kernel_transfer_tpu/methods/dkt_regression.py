@@ -111,6 +111,22 @@ class DKTRegression:
             {"loss": jnp.mean(losses), "noise": noise},
         )
 
+    def init_spectral_from_data(self, state: DKTRegressionState, x: Array,
+                                y: Array, key: Array) -> DKTRegressionState:
+        """OPTIONAL data-driven spectral-mixture init over the current
+        features (gpytorch initialize_from_data analog; the reference never
+        calls it — see gp/kernels.py:initialize_spectral_from_data)."""
+        from ..gp.kernels import initialize_spectral_from_data
+
+        if self.kernel_type != "spectral":
+            return state
+        z = self._features(state.params, x)
+        kernel_params = initialize_spectral_from_data(
+            state.params["gp"]["kernel"], z, y, key)
+        params = dict(state.params)
+        params["gp"] = {**state.params["gp"], "kernel": kernel_params}
+        return state._replace(params=params, opt_state=self.tx.init(params))
+
     # -- evaluation --------------------------------------------------------
 
     @partial(jax.jit, static_argnums=0)

@@ -1,0 +1,113 @@
+"""Native (C++) host data-path: decode + transform straight to float32.
+
+Builds `libdkt_data.so` from src/image_pipeline.cc on first use (g++,
+-O3 -march=native, linked against libjpeg/libpng) and exposes it through
+ctypes. Falls back cleanly when the toolchain or image libraries are
+missing — callers should check `available()` and use the PIL pipeline
+otherwise (deep_kernel_transfer_tpu/data/transforms.py).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "image_pipeline.cc")
+_LIB_PATH = os.path.join(_HERE, "libdkt_data.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB_PATH,
+           _SRC, "-ljpeg", "-lpng"]
+    try:
+        result = subprocess.run(cmd, capture_output=True, text=True,
+                                timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if result.returncode != 0:
+        print(f"[native] build failed:\n{result.stderr}")
+        return False
+    return True
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.dkt_image_size.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_int),
+                                       ctypes.POINTER(ctypes.c_int)]
+        lib.dkt_image_size.restype = ctypes.c_int
+        lib.dkt_load_eval.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int, fp]
+        lib.dkt_load_eval.restype = ctypes.c_int
+        lib.dkt_load_aug.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_float, ctypes.c_float,
+                                     ctypes.c_float, ctypes.c_int, fp]
+        lib.dkt_load_aug.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def image_size(path: str) -> tuple[int, int]:
+    lib = _load()
+    assert lib is not None
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.dkt_image_size(path.encode(), ctypes.byref(w), ctypes.byref(h)):
+        raise IOError(f"native decode failed: {path}")
+    return w.value, h.value
+
+
+def load_eval(path: str, size: int, normalize: bool = True) -> np.ndarray:
+    """Decode + Scale(1.15x) + CenterCrop + normalize -> [size, size, 3]."""
+    lib = _load()
+    assert lib is not None
+    out = np.empty((size, size, 3), np.float32)
+    rc = lib.dkt_load_eval(path.encode(), size, int(normalize),
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc:
+        raise IOError(f"native decode failed: {path}")
+    return out
+
+
+def load_aug(path: str, size: int, crop_box, jitter_factors, flip: bool,
+             normalize: bool = True) -> np.ndarray:
+    """Aug pipeline; crop_box = (left, top, w, h) or None for the
+    deterministic fallback; jitter_factors = (brightness, contrast, color)."""
+    lib = _load()
+    assert lib is not None
+    left, top, cw, ch = crop_box if crop_box is not None else (0, 0, -1, -1)
+    bright, contrast, color = jitter_factors
+    out = np.empty((size, size, 3), np.float32)
+    rc = lib.dkt_load_aug(path.encode(), size, int(normalize), left, top, cw,
+                          ch, bright, contrast, color, int(flip),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc:
+        raise IOError(f"native decode failed: {path}")
+    return out
