@@ -157,3 +157,11 @@ class EpisodicMethod:
         y = episode_labels(x.shape[0], n_query)
         pred = jnp.argmax(scores, axis=-1)
         return float(jnp.sum(pred == y)), int(x.shape[0] * n_query)
+
+    def batch_correct(self, params, xb: Array) -> Array:
+        """Per-episode accuracy% [B] in one vmapped dispatch."""
+        n_way, n_total = xb.shape[1], xb.shape[2]
+        y = episode_labels(n_way, n_total - self.n_support)
+        scores = self.batch_scores(params, xb)  # [B, n_way*Q, n_way]
+        pred = jnp.argmax(scores, axis=-1)
+        return jnp.mean((pred == y[None]).astype(jnp.float32), axis=1) * 100.0

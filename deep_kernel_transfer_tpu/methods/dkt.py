@@ -241,6 +241,20 @@ class DKT:
         pred = jnp.argmax(scores, axis=-1)
         return float(jnp.sum(pred == y_query)), n_way * n_query
 
+    @partial(jax.jit, static_argnums=0)
+    def batch_correct(self, params, xb: Array) -> Array:
+        """Per-episode accuracy%% [B] — the test loop's 600 episodes run in
+        vmapped batches instead of one device dispatch per episode."""
+        n_way, n_total = xb.shape[1], xb.shape[2]
+        n_query = n_total - self.n_support
+        y_query = episode_labels(n_way, n_query)
+
+        def one(x):
+            pred = jnp.argmax(self.episode_scores(params, x), axis=-1)
+            return jnp.mean((pred == y_query).astype(jnp.float32)) * 100.0
+
+        return jax.vmap(one)(xb)
+
     def correct_laplace(self, params, x: Array) -> tuple[float, int]:
         """Laplace-approximation test head (reference methods/DKT.py:207-222:
         sklearn GaussianProcessClassifier with 1.0*RBF(0.1) on the support

@@ -96,23 +96,31 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
         if ckpt_file is not None:
             params, _ = load_checkpoint(ckpt_file, params)
             print(f"loaded {ckpt_file}")
+        # special heads evaluate per-episode; the standard path batches
+        # --episode_batch episodes into one vmapped device dispatch
+        special = (isinstance(model, DKT)
+                   and (getattr(params_cli, "laplace", False)
+                        or params_cli.adaptation))
+        episode_batch = 1 if special else max(params_cli.episode_batch, 1)
         loader = EpisodicDataLoader(
             novel_file, image_size, n_way, n_support, n_query,
-            n_episodes=params_cli.n_iter, episode_batch=1, aug=False,
-            seed=seed)
+            n_episodes=params_cli.n_iter, episode_batch=episode_batch,
+            aug=False, seed=seed)
         accs = []
         for xb in loader:
-            x = jnp.asarray(xb[0])
-            if isinstance(model, DKT) and getattr(params_cli, "laplace", False):
-                # Laplace-approximation head (reference test.py --laplace ->
-                # DKT.correct(laplace=True), methods/DKT.py:207-222)
-                c, n = model.correct_laplace(params, x)
-            elif isinstance(model, DKT) and params_cli.adaptation:
-                p = model.adapt_gp(params, x, steps=100)
-                c, n = model.correct(p, x)
+            if special:
+                x = jnp.asarray(xb[0])
+                if getattr(params_cli, "laplace", False):
+                    # Laplace head (reference test.py --laplace ->
+                    # DKT.correct(laplace=True), methods/DKT.py:207-222)
+                    c, n = model.correct_laplace(params, x)
+                else:
+                    p = model.adapt_gp(params, x, steps=100)
+                    c, n = model.correct(p, x)
+                accs.append(c / n * 100)
             else:
-                c, n = model.correct(params, x)
-            accs.append(c / n * 100)
+                accs.extend(np.asarray(
+                    model.batch_correct(params, jnp.asarray(xb))))
         accs = np.asarray(accs)
         return float(accs.mean()), ci95(accs)
 

@@ -36,13 +36,10 @@ def _set_seed(seed: int) -> None:
 
 
 def _val_acc(model, params, val_loader) -> float:
-    correct = total = 0.0
-    for xb in val_loader:
-        for x in xb:  # per-episode correct() like reference test_loop
-            c, n = model.correct(params, jnp.asarray(x))
-            correct += c
-            total += n
-    return correct / max(total, 1) * 100.0
+    accs = []
+    for xb in val_loader:  # vmapped per-episode accuracy, one dispatch/batch
+        accs.extend(np.asarray(model.batch_correct(params, jnp.asarray(xb))))
+    return float(np.mean(accs)) if accs else 0.0
 
 
 def train_baseline(params_cli, base_file, image_size, stop_epoch, ckpt_dir):
@@ -103,7 +100,7 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         aug=params_cli.train_aug, seed=params_cli.seed)
     val_loader = EpisodicDataLoader(
         val_file, image_size, params_cli.test_n_way, n_support, n_query,
-        n_episodes=n_episodes, episode_batch=1, aug=False,
+        n_episodes=n_episodes, episode_batch=episode_batch, aug=False,
         seed=params_cli.seed + 1)
 
     example = jnp.zeros((n_way, n_support + n_query, image_size, image_size, 3),
