@@ -3,6 +3,7 @@ from .mesh import (
     DATA_AXIS,
     episode_sharding,
     make_mesh,
+    make_sharded_eval,
     make_sharded_train_step,
     replicate_tree,
     replicated,
@@ -10,6 +11,6 @@ from .mesh import (
 )
 
 __all__ = [
-    "DATA_AXIS", "episode_sharding", "make_mesh", "make_sharded_train_step",
+    "DATA_AXIS", "episode_sharding", "make_mesh", "make_sharded_eval", "make_sharded_train_step",
     "replicate_tree", "replicated", "shard_episode_batch",
 ]

@@ -76,3 +76,17 @@ def make_sharded_train_step(method, mesh: Mesh, axis: str = DATA_AXIS):
         in_shardings=(state_sh, x_sh),
         out_shardings=(state_sh, state_sh),
     )
+
+
+def make_sharded_eval(method, mesh: Mesh, axis: str = DATA_AXIS):
+    """jit the method's batched per-episode accuracy with the episode axis
+    sharded over the mesh: the reference's 600-episode test loop
+    (reference test.py:142-161) becomes ceil(600/B) sharded dispatches.
+
+    Returns fn(params, xb [B, n_way, S+Q, ...]) -> per-episode accuracy%
+    [B] (episode-sharded; np.asarray gathers it)."""
+    return jax.jit(
+        lambda params, xb: method.batch_correct(params, xb),
+        in_shardings=(replicated(mesh), episode_sharding(mesh, axis)),
+        out_shardings=episode_sharding(mesh, axis),
+    )

@@ -52,7 +52,21 @@ def main(argv=None):
         ckpt_file = get_best_file(ckpt_dir)
     assert ckpt_file is not None, f"no checkpoint in {ckpt_dir}"
 
-    backbone = model_dict[params_cli.model]()
+    assert params_cli.method not in ("maml", "maml_approx"), (
+        "maml does not support save_features (reference save_features.py:45)")
+    if params_cli.method in ("relationnet", "relationnet_softmax"):
+        # unpooled trunks keep spatial maps (reference save_features.py:94-100)
+        from deep_kernel_transfer_tpu.models.backbones import (
+            Conv4NP, Conv4SNP, Conv6NP,
+        )
+
+        np_map = {"Conv4": Conv4NP, "Conv6": Conv6NP, "Conv4S": Conv4SNP}
+        if params_cli.model in np_map:
+            backbone = np_map[params_cli.model]()
+        else:
+            backbone = model_dict[params_cli.model](flatten=False)
+    else:
+        backbone = model_dict[params_cli.model]()
     example = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
     bvars = backbone.init(jax.random.PRNGKey(0), example)
     bvars = load_backbone_from(ckpt_file, bvars)

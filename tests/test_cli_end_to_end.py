@@ -72,3 +72,21 @@ def test_train_save_features_and_test_protonet(dataset_cwd):
     test_cli.main(COMMON + ["--method=protonet", "--n_iter=2", "--repeat=1"])
     txt = open("record/results.txt").read()
     assert "omniglot-Conv4S-protonet" in txt
+
+
+def test_relationnet_feature_path_keeps_spatial_maps(dataset_cwd):
+    """relationnet caches UNPOOLED feature maps (reference
+    save_features.py:94-100) and evaluates from them."""
+    import h5py
+
+    import save_features as sf_cli
+
+    train_cli.main(COMMON + ["--method=relationnet", "--stop_epoch=1",
+                             "--n_train_episodes=2"])
+    sf_cli.main(COMMON + ["--method=relationnet", "--split=novel"])
+    feat = "save/features/omniglot/Conv4S_relationnet_3way_2shot/novel.hdf5"
+    with h5py.File(feat) as f:
+        assert f["all_feats"].ndim == 4  # [N, h, w, c] spatial maps
+    test_cli.main(COMMON + ["--method=relationnet", "--n_iter=2",
+                            "--repeat=1"])
+    assert "omniglot-Conv4S-relationnet" in open("record/results.txt").read()

@@ -61,6 +61,25 @@ def test_sharded_dkt_train_step_matches_single_device():
     assert np.isfinite(float(m2["loss"]))
 
 
+def test_sharded_eval_matches_single_device():
+    """batch_correct over a sharded episode axis == unsharded result."""
+    from deep_kernel_transfer_tpu.parallel import make_sharded_eval
+
+    n_way, n_support, n_query = 3, 2, 3
+    model = DKT(ConvNetS(depth=2), n_way=n_way, n_support=n_support,
+                kernel_type="bncossim", feature_dtype="float32")
+    rng = np.random.RandomState(2)
+    x = rng.randn(8, n_way, n_support + n_query, 16, 16, 3).astype(np.float32)
+    state = model.init(jax.random.PRNGKey(0), jnp.asarray(x[0]))
+
+    single = np.asarray(model.batch_correct(state.params, jnp.asarray(x)))
+    mesh = make_mesh(8)
+    eval_fn = make_sharded_eval(model, mesh)
+    sharded = np.asarray(eval_fn(replicate_tree(state.params, mesh),
+                                 shard_episode_batch(jnp.asarray(x), mesh)))
+    np.testing.assert_allclose(single, sharded, atol=1e-4)
+
+
 def test_gradients_synchronised_across_shards():
     """After a sharded step the replicated params must be identical on every
     device (XLA inserted the psum)."""
