@@ -74,6 +74,17 @@ def test_train_save_features_and_test_protonet(dataset_cwd):
     assert "omniglot-Conv4S-protonet" in txt
 
 
+def test_uncertainty_cli_runs_after_dkt(dataset_cwd):
+    """ECE + temperature-scaling pipeline over the DKT checkpoint
+    (reference test_uncertainty.py protocol)."""
+    import test_uncertainty as tu_cli
+
+    # reuses the checkpoint written by test_train_and_test_dkt_from_images
+    ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
+    assert os.path.isfile(ckpt), "run order: DKT train test must come first"
+    tu_cli.main(COMMON + ["--method=DKT", "--n_iter=2", "--repeat=1"])
+
+
 def test_relationnet_feature_path_keeps_spatial_maps(dataset_cwd):
     """relationnet caches UNPOOLED feature maps (reference
     save_features.py:94-100) and evaluates from them."""
