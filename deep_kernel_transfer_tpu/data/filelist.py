@@ -130,18 +130,32 @@ class EpisodicDataLoader:
             return
         q: queue.Queue = queue.Queue(maxsize=2)
         _SENTINEL = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
-            finally:
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 q.put(_SENTINEL)
+            except BaseException as e:  # propagate decode errors, don't
+                q.put(e)                # silently truncate the epoch
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()  # unblock the producer if the consumer bailed early

@@ -48,10 +48,20 @@ def sample_trajectory(rng: np.random.RandomState, num_samples: int = NUM_SAMPLES
     return list(zip(pitches, angles))
 
 
-def get_person_at_curve(person: str, curve, prefix: str = "filelists/QMUL/images/"):
+def _default_prefix() -> str:
+    """Reference layout first, then this repo's prep-script location."""
+    for p in ("filelists/QMUL/images/", "filelists_tpu/QMUL/images/"):
+        if os.path.isdir(p):
+            return p
+    return "filelists/QMUL/images/"
+
+
+def get_person_at_curve(person: str, curve, prefix: str | None = None):
     """Load one person's images along a trajectory; targets = normalised
     pitch (reference data/qmul_loader.py:22-39). Images are NOT ImageNet-
     normalised (the reference uses bare ToTensor)."""
+    if prefix is None:
+        prefix = _default_prefix()
     faces, targets = [], []
     for pitch, angle in curve:
         fname = os.path.join(
@@ -67,7 +77,7 @@ def get_person_at_curve(person: str, curve, prefix: str = "filelists/QMUL/images
 
 def get_batch(people=train_people, rng: np.random.RandomState | None = None,
               num_samples: int = NUM_SAMPLES,
-              prefix: str = "filelists/QMUL/images/"):
+              prefix: str | None = None):
     """[n_people, 19, H, W, C] inputs + [n_people, 19] targets
     (reference data/qmul_loader.py:41-59)."""
     if rng is None:

@@ -51,20 +51,15 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
 
 def random_sized_crop(img: Image.Image, size: int, rng: np.random.RandomState) -> Image.Image:
     """torchvision RandomSizedCrop/RandomResizedCrop: random area in
-    [0.08, 1.0], aspect in [3/4, 4/3], 10 attempts then center-crop fallback."""
+    [0.08, 1.0], aspect in [3/4, 4/3], 10 attempts then center-crop fallback.
+    Parameter sampling is shared with the native path (sample_crop_box)."""
     w, h = img.size
-    area = w * h
-    for _ in range(10):
-        target_area = rng.uniform(0.08, 1.0) * area
-        aspect = np.exp(rng.uniform(np.log(3.0 / 4.0), np.log(4.0 / 3.0)))
-        cw = int(round(np.sqrt(target_area * aspect)))
-        ch = int(round(np.sqrt(target_area / aspect)))
-        if 0 < cw <= w and 0 < ch <= h:
-            left = rng.randint(0, w - cw + 1)
-            top = rng.randint(0, h - ch + 1)
-            img2 = img.crop((left, top, left + cw, top + ch))
-            return img2.resize((size, size), Image.BILINEAR)
-    return center_crop(scale(img, size), size)
+    box = sample_crop_box(w, h, rng)
+    if box is None:
+        return center_crop(scale(img, size), size)
+    left, top, cw, ch = box
+    return img.crop((left, top, left + cw, top + ch)).resize(
+        (size, size), Image.BILINEAR)
 
 
 def image_jitter(img: Image.Image, rng: np.random.RandomState,

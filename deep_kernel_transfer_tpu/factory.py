@@ -23,22 +23,33 @@ from .methods import (
 from .models.backbones import feat_dims, model_dict, np_feat_shapes
 
 
+def _fallback(path: str) -> str:
+    """The reference layout is ./filelists/<ds>/; this repo's prep scripts
+    write into ./filelists_tpu/<ds>/. Accept either: if the reference-layout
+    file is missing but the filelists_tpu twin exists, use the twin."""
+    if not os.path.exists(path):
+        alt = path.replace("filelists/", "filelists_tpu/", 1)
+        if os.path.exists(alt):
+            return alt
+    return path
+
+
 def resolve_data_files(params, split_for_test: str | None = None):
     """(base_file, val_file) for training, or the single test-split file.
 
     reference train.py:73-81, test.py (via save_features.py:35-49)."""
-    d = configs.data_dir
+    d = {k: v for k, v in configs.data_dir.items()}
     if split_for_test is not None:
         split = split_for_test
         if params.dataset == "cross":
             if split == "base":
-                return os.path.join(d["miniImagenet"], "all.json")
-            return os.path.join(d["CUB"], f"{split}.json")
+                return _fallback(os.path.join(d["miniImagenet"], "all.json"))
+            return _fallback(os.path.join(d["CUB"], f"{split}.json"))
         if params.dataset == "cross_char":
             if split == "base":
-                return os.path.join(d["omniglot"], "noLatin.json")
-            return os.path.join(d["emnist"], f"{split}.json")
-        return os.path.join(d[params.dataset], f"{split}.json")
+                return _fallback(os.path.join(d["omniglot"], "noLatin.json"))
+            return _fallback(os.path.join(d["emnist"], f"{split}.json"))
+        return _fallback(os.path.join(d[params.dataset], f"{split}.json"))
 
     if params.dataset == "cross":
         base_file = os.path.join(d["miniImagenet"], "all.json")
@@ -49,7 +60,7 @@ def resolve_data_files(params, split_for_test: str | None = None):
     else:
         base_file = os.path.join(d[params.dataset], "base.json")
         val_file = os.path.join(d[params.dataset], "val.json")
-    return base_file, val_file
+    return _fallback(base_file), _fallback(val_file)
 
 
 def resolve_image_size(params) -> int:

@@ -187,12 +187,14 @@ class DKT:
         """Mean outputscale / lengthscale / noise telemetry
         (reference methods/DKT.py:148-157 logs these per episode)."""
         out = {}
-        gp = params["gp"]
-        if isinstance(gp, dict) and "raw_outputscale" in gp:
-            out["outputscale"] = jnp.mean(jax.nn.softplus(gp["raw_outputscale"]))
-            base = gp.get("base", {})
-            if "raw_lengthscale" in base:
-                out["lengthscale"] = jnp.mean(jax.nn.softplus(base["raw_lengthscale"]))
+        kernel = params["gp"].get("kernel", {})
+        if "raw_outputscale" in kernel:
+            out["outputscale"] = jnp.mean(
+                jax.nn.softplus(kernel["raw_outputscale"]))
+        base = kernel.get("base", {})
+        if "raw_lengthscale" in base:
+            out["lengthscale"] = jnp.mean(
+                jax.nn.softplus(base["raw_lengthscale"]))
         out["noise"] = jnp.asarray(self.gp.likelihood.fixed_noise)
         return out
 

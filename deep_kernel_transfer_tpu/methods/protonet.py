@@ -10,18 +10,10 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
+from ..gp.kernels import sq_dist as euclidean_sq  # shared MXU pairwise-dist
 from .base import EpisodicMethod, episode_labels, flatten_episode
 
 Array = jax.Array
-
-
-def euclidean_sq(x: Array, y: Array) -> Array:
-    """[N,D],[M,D] -> [N,M] squared distances without the [N,M,D] temp."""
-    xn = jnp.sum(x * x, axis=-1, keepdims=True)
-    yn = jnp.sum(y * y, axis=-1, keepdims=True).T
-    cross = jnp.dot(x, y.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    return jnp.maximum(xn + yn - 2.0 * cross, 0.0)
 
 
 class ProtoNet(EpisodicMethod):

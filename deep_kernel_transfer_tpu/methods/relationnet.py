@@ -93,26 +93,70 @@ class RelationNet(EpisodicMethod):
         h, w, c = self.feat_shape
         return self.scores_from_features(params, z.reshape(n_way, n_total, h, w, c))
 
+    def _pair_scores(self, rel_params, z_proto: Array, z_query: Array) -> Array:
+        """(query, proto) pair scores: z_proto [n_way, h, w, c],
+        z_query [M, h, w, c] -> [M, n_way]."""
+        n_way = z_proto.shape[0]
+        m = z_query.shape[0]
+        h, w, c = self.feat_shape
+        proto_ext = jnp.broadcast_to(z_proto[None], (m, n_way, h, w, c))
+        query_ext = jnp.broadcast_to(z_query[:, None], (m, n_way, h, w, c))
+        pairs = jnp.concatenate([proto_ext, query_ext], axis=-1)
+        rel = self.relation.apply(rel_params, pairs.reshape(-1, h, w, 2 * c))
+        return rel.reshape(m, n_way)
+
     def scores_from_features(self, params, z: Array) -> Array:
         """[n_way, S+Q, h, w, c] feature maps -> scores (is_feature path)."""
         n_way, n_total = z.shape[0], z.shape[1]
         n_support = self.n_support
-        n_query = n_total - n_support
         h, w, c = self.feat_shape
         z_proto = jnp.mean(z[:, :n_support], axis=1)  # [n_way, h, w, c]
-        z_query = z[:, n_support:].reshape(n_way * n_query, h, w, c)
+        z_query = z[:, n_support:].reshape(-1, h, w, c)
+        return self._pair_scores(params["relation"], z_proto, z_query)
 
-        # all (query, proto) pairs: [Q*n_way, h, w, 2c]
-        proto_ext = jnp.broadcast_to(
-            z_proto[None], (n_way * n_query, n_way, h, w, c)
-        )
-        query_ext = jnp.broadcast_to(
-            z_query[:, None], (n_way * n_query, n_way, h, w, c)
-        )
-        pairs = jnp.concatenate([proto_ext, query_ext], axis=-1)
-        pairs = pairs.reshape(-1, h, w, 2 * c)
-        rel = self.relation.apply(params["relation"], pairs)
-        return rel.reshape(n_way * n_query, n_way)
+    def _scores_loss(self, rel_params, z_proto, z_query, y) -> Array:
+        scores = self._pair_scores(rel_params, z_proto, z_query)
+        if self.loss_type == "mse":
+            return jnp.mean((scores - jax.nn.one_hot(y, z_proto.shape[0])) ** 2)
+        return jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(scores, y))
+
+    def adapted_scores_from_features(self, params, z: Array,
+                                     key: Array) -> Array:
+        """Test-time relation-module finetune on the support set
+        (reference relationnet.py:42-93 set_forward_adaptation): 100 epochs
+        of SGD(0.01, momentum=.9, dampening=.9, wd=1e-3) on random 3/2
+        sub-splits of the support, then score the query with the finetuned
+        module. Runs fully on-device as a lax.scan."""
+        from ..utils.torch_optim import torch_sgd
+
+        n_way, n_total = z.shape[0], z.shape[1]
+        n_support = self.n_support
+        h, w, c = self.feat_shape
+        z_support = z[:, :n_support]  # [n_way, S, h, w, c]
+        z_query = z[:, n_support:].reshape(-1, h, w, c)
+
+        sub_s = min(3, max(1, n_support - 1))  # reference hardcodes 3/2
+        sub_q = max(1, min(2, n_support - sub_s))
+        y_sub = episode_labels(n_way, sub_q)
+        tx = torch_sgd()
+
+        def epoch(carry, k):
+            rel_params, opt_state = carry
+            perm = jax.random.permutation(k, n_support)
+            zz = z_support[:, perm]
+            proto = jnp.mean(zz[:, :sub_s], axis=1)
+            query = zz[:, sub_s:sub_s + sub_q].reshape(-1, h, w, c)
+            grads = jax.grad(self._scores_loss)(rel_params, proto, query, y_sub)
+            updates, opt_state = tx.update(grads, opt_state, rel_params)
+            return (optax.apply_updates(rel_params, updates), opt_state), None
+
+        keys = jax.random.split(key, 100)
+        (rel_params, _), _ = jax.lax.scan(
+            epoch, (params["relation"], tx.init(params["relation"])), keys)
+
+        z_proto = jnp.mean(z_support, axis=1)
+        return self._pair_scores(rel_params, z_proto, z_query)
 
     def episode_loss(self, params, x: Array) -> Array:
         n_query = x.shape[1] - self.n_support

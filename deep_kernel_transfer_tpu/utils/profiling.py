@@ -49,10 +49,13 @@ def sync(tree: Any) -> float:
 class StepTimer:
     """Accumulates per-phase wall-clock timings.
 
-    with timer.phase("data"):   # host work
+    with timer.phase("data"):               # host work
         batch = next(loader)
-    with timer.phase("step", sync_tree=state):  # device work
+    with timer.phase("step") as ph:         # device work: hand the phase the
         state, m = model.train_step(state, batch)
+        ph["sync"] = (state, m)             # OUTPUT of the step to sync on
+    # (a sync target captured at `with`-entry would already be materialised
+    # and return immediately — the enqueue-ack pitfall described above)
     """
 
     def __init__(self):
@@ -60,15 +63,13 @@ class StepTimer:
         self.counts: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
-    def phase(self, name: str, sync_tree: Any = None):
+    def phase(self, name: str):
         t0 = time.perf_counter()
-        result_holder = {}
+        result_holder: dict[str, Any] = {}
         try:
             yield result_holder
         finally:
-            if sync_tree is not None:
-                sync(sync_tree)
-            elif "sync" in result_holder:
+            if "sync" in result_holder:
                 sync(result_holder["sync"])
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1

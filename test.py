@@ -52,7 +52,13 @@ def feature_evaluation(cl_data, model, params_cli, n_query=15, adaptation=False,
     n_support = params_cli.n_shot
     z = sample_feature_episode(cl_data, rng, n_way, n_support, n_query)
     z = jnp.asarray(z)
-    if adaptation or params_cli.method in ("baseline", "baseline++"):
+    if adaptation and params_cli.method in ("relationnet",
+                                            "relationnet_softmax"):
+        # relationnet finetunes its relation module, not a linear probe
+        # (reference relationnet.py:42-93 overrides set_forward_adaptation)
+        scores = model.adapted_scores_from_features(
+            model._loaded_params, z, jax.random.PRNGKey(seed))
+    elif adaptation or params_cli.method in ("baseline", "baseline++"):
         # linear-probe finetune on support features (reference
         # meta_template.py:102-135 / baselinefinetune.py:14-52)
         loss_type = "dist" if params_cli.method == "baseline++" else "softmax"

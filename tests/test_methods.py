@@ -160,3 +160,39 @@ def test_feature_transfer_regression():
     mse = ft.test_mse(state, jnp.asarray(xs), jnp.asarray(ys),
                       jnp.asarray(xa), jnp.asarray(ya))
     assert mse < 1.0
+
+
+def test_relationnet_adapted_scores():
+    """Test-time relation-module finetune (reference relationnet.py:42-93)."""
+    m = RelationNet(ConvNetSNopool(depth=2), feat_shape=(2, 2, 64),
+                    n_way=N_WAY, n_support=N_SUPPORT, loss_type="mse")
+    rng = np.random.RandomState(5)
+    ep = jnp.asarray(synthetic_episode(rng))
+    state = m.init(jax.random.PRNGKey(0), ep)
+    z = m.feature.apply(state.params["feature"],
+                        ep.reshape((-1,) + ep.shape[2:]))
+    z = z.reshape(N_WAY, N_SUPPORT + N_QUERY, 2, 2, 64)
+    scores = m.adapted_scores_from_features(state.params, z,
+                                            jax.random.PRNGKey(1))
+    assert scores.shape == (N_WAY * N_QUERY, N_WAY)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_torch_sgd_first_step_matches_torch():
+    """torch SGD seeds the momentum buffer with the FULL gradient on step 1
+    (no dampening), then applies dampening afterwards."""
+    import optax
+    from deep_kernel_transfer_tpu.utils.torch_optim import torch_sgd
+
+    tx = torch_sgd(lr=0.1, momentum=0.9, dampening=0.9, weight_decay=0.0)
+    p = jnp.asarray(1.0)
+    g = jnp.asarray(2.0)
+    opt = tx.init(p)
+    u1, opt = tx.update(g, opt, p)
+    np.testing.assert_allclose(float(u1), -0.1 * 2.0, rtol=1e-6)  # lr*g
+    # step 2: buf = 0.9*2.0 + 0.1*2.0 = 2.0 -> update = -0.2 again
+    u2, opt = tx.update(g, opt, p)
+    np.testing.assert_allclose(float(u2), -0.1 * 2.0, rtol=1e-6)
+    # a different gradient now moves the EMA slowly
+    u3, _ = tx.update(jnp.asarray(0.0), opt, p)
+    np.testing.assert_allclose(float(u3), -0.1 * 0.9 * 2.0, rtol=1e-6)

@@ -90,8 +90,11 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
     episode_batch = params_cli.episode_batch
     if isinstance(model, MAML):
         # reference accumulates n_task episode losses per outer step
-        # (methods/maml.py:71-98); the episode batch IS that accumulation
+        # (methods/maml.py:71-98); the episode batch IS that accumulation,
+        # and the training budget scales accordingly (reference
+        # train.py: stop_epoch = stop_epoch * n_task for maml)
         episode_batch = model.n_task
+        stop_epoch = stop_epoch * model.n_task
 
     n_episodes = getattr(params_cli, "n_train_episodes", 100)
     base_loader = EpisodicDataLoader(
@@ -116,10 +119,14 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
             start_epoch = epoch + 1
             print(f"resumed from {resume_file} (epoch {epoch})")
     elif params_cli.warmup:
+        from deep_kernel_transfer_tpu import configs
         from deep_kernel_transfer_tpu.utils.checkpoint import warmup_from_baseline
 
-        warm_dir = ckpt_dir.replace(params_cli.method, "baseline")
-        warm_dir = warm_dir.split("_aug")[0] + "_aug"
+        # reference train.py:198-201: <model>_baseline[_aug], no way/shot
+        warm_dir = os.path.join(
+            configs.save_dir, "checkpoints", params_cli.dataset,
+            f"{params_cli.model}_baseline"
+            + ("_aug" if params_cli.train_aug else ""))
         state = state._replace(
             params=warmup_from_baseline(warm_dir, state.params))
 
