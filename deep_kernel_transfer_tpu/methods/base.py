@@ -77,6 +77,33 @@ def ci95(acc_per_episode) -> float:
     return float(1.96 * a.std() / np.sqrt(len(a)))
 
 
+def apply_trunk(module, variables, x: Array, train: bool):
+    """Apply a backbone with reference BatchNorm semantics.
+
+    train=True: batch statistics + running-average updates — returns
+    (out, batch_stats_updates). train=False: running averages (the
+    reference's model.eval() protocol) — returns (out, None)."""
+    if train:
+        out, mut = module.apply(variables, x, train=True,
+                                mutable=["batch_stats"])
+        return out, mut.get("batch_stats", {})
+    return module.apply(variables, x, train=False), None
+
+
+def merge_stats(variables, stats):
+    """Merge batch_stats updates (possibly with a leading vmap axis to
+    average over) back into a flax variables dict."""
+    if not stats:
+        return variables
+    old = variables.get("batch_stats")
+    if old is not None:
+        stats = jax.tree.map(
+            lambda new, ref: (jnp.mean(new, axis=0)
+                              if new.ndim == ref.ndim + 1 else new),
+            stats, old)
+    return {**variables, "batch_stats": stats}
+
+
 class MethodState(NamedTuple):
     params: object
     opt_state: object
@@ -105,7 +132,8 @@ class EpisodicMethod:
     def init_params(self, key, example_episode):
         raise NotImplementedError
 
-    def episode_loss(self, params, x):
+    def episode_loss_train(self, params, x):
+        """(loss, {param_top_key: batch_stats_updates}) in train mode."""
         raise NotImplementedError
 
     def episode_scores(self, params, x):
@@ -116,8 +144,16 @@ class EpisodicMethod:
         params = self.init_params(key, example_episode)
         return MethodState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
 
+    def episode_loss(self, params, x: Array) -> Array:
+        return self.episode_loss_train(params, x)[0]
+
     def batch_loss(self, params, xb: Array) -> Array:
         return jnp.mean(jax.vmap(lambda x: self.episode_loss(params, x))(xb))
+
+    def batch_loss_train(self, params, xb: Array):
+        losses, stats = jax.vmap(
+            lambda x: self.episode_loss_train(params, x))(xb)
+        return jnp.mean(losses), stats
 
     def train_step(self, state: MethodState, xb: Array):
         # jit once per (self, shape); cache on the instance.
@@ -126,11 +162,17 @@ class EpisodicMethod:
             import jax as _jax
 
             def _step(state, xb):
-                loss, grads = _jax.value_and_grad(self.batch_loss)(state.params, xb)
-                updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+                (loss, stats), grads = _jax.value_and_grad(
+                    self.batch_loss_train, has_aux=True)(state.params, xb)
+                updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                    state.params)
                 import optax as _optax
 
                 params = _optax.apply_updates(state.params, updates)
+                # BN running averages (per-episode updates averaged by
+                # merge_stats; zero-grad leaves were untouched by Adam)
+                for key, st in (stats or {}).items():
+                    params = {**params, key: merge_stats(params[key], st)}
                 return MethodState(params, opt_state, state.step + 1), {"loss": loss}
 
             fn = _jax.jit(_step)

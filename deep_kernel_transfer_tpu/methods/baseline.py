@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..models.backbones import DistLinear
 from ..utils.torch_optim import torch_sgd
-from .base import episode_labels
+from .base import episode_labels, merge_stats
 
 Array = jax.Array
 
@@ -33,8 +33,8 @@ class BaselineClassifier(nn.Module):
     loss_type: str = "softmax"  # "softmax" | "dist"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        z = self.backbone(x)
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        z = self.backbone(x, train=train)
         if self.loss_type == "dist":
             return DistLinear(self.num_class)(z)
         return nn.Dense(self.num_class, bias_init=nn.initializers.zeros)(z)
@@ -59,21 +59,29 @@ class BaselineTrain:
         params = {"net": self.net.init(key, example_x)}
         return BaselineState(params, self.tx.init(params), jnp.zeros((), jnp.int32))
 
-    def loss(self, params, x: Array, y: Array) -> Array:
-        scores = self.net.apply(params["net"], x)
-        return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(scores, y))
+    def loss(self, params, x: Array, y: Array):
+        scores, mut = self.net.apply(params["net"], x, train=True,
+                                     mutable=["batch_stats"])
+        ce = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(scores, y))
+        return ce, mut.get("batch_stats", {})
 
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state: BaselineState, x: Array, y: Array):
-        loss, grads = jax.value_and_grad(self.loss)(state.params, x, y)
+        (loss, stats), grads = jax.value_and_grad(self.loss, has_aux=True)(
+            state.params, x, y)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        params = {**params, "net": merge_stats(params["net"], stats)}
         return BaselineState(params, opt_state, state.step + 1), {"loss": loss}
 
     def feature_params(self, state: BaselineState):
         """The backbone variables, for save_features / warm-start
         (reference save_features.py:110-119, train.py:198-217)."""
-        return {"params": state.params["net"]["params"]["backbone"]}
+        out = {"params": state.params["net"]["params"]["backbone"]}
+        stats = state.params["net"].get("batch_stats", {}).get("backbone")
+        if stats is not None:
+            out["batch_stats"] = stats
+        return out
 
 
 class BaselineFinetune:

@@ -39,7 +39,8 @@ from flax import linen as nn
 from ..gp import ExactGP, GaussianLikelihood, make_kernel, normalizes_features
 from ..gp.exact import batched_posterior, init_batched, sum_mll
 from ..models.backbones import EpisodicBatchNorm
-from .base import episode_labels, flatten_episode, one_vs_rest_targets
+from .base import (apply_trunk, episode_labels, flatten_episode,
+                   merge_stats, one_vs_rest_targets)
 
 Array = jax.Array
 
@@ -51,10 +52,10 @@ class DKTFeature(nn.Module):
     bn_out: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        z = self.backbone(x)
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        z = self.backbone(x, train=train)
         if self.bn_out:
-            z = EpisodicBatchNorm()(z)
+            z = EpisodicBatchNorm()(z, use_running_average=not train)
         return z
 
 
@@ -122,37 +123,50 @@ class DKT:
 
     # -- core --------------------------------------------------------------
 
-    def _features(self, params, x_flat: Array) -> Array:
+    def _features(self, params, x_flat: Array, train: bool = False):
+        """L2-normalised deep features. train=True uses batch-stat BN and
+        returns (z, batch_stats_updates); train=False (the reference's
+        model.eval() test protocol) uses running averages and returns
+        (z, None). BN statistics stay f32 even in the bf16 trunk."""
         fvars = params["feature"]
         if self.feature_dtype != jnp.float32:
-            fvars = jax.tree.map(
+            # cast weights only — BN running statistics stay f32
+            fvars = {**fvars, "params": jax.tree.map(
                 lambda a: a.astype(self.feature_dtype)
-                if a.dtype == jnp.float32 else a, fvars)
+                if a.dtype == jnp.float32 else a, fvars["params"])}
             x_flat = x_flat.astype(self.feature_dtype)
-        z = self.feature.apply(fvars, x_flat).astype(jnp.float32)
+        z, stats = apply_trunk(self.feature, fvars, x_flat, train)
+        z = z.astype(jnp.float32)
         if self.normalize:
             z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
-        return z
+        return z, stats
+
+    def episode_loss_train(self, params, x: Array):
+        """-sum_way MLL on one episode, GP conditioned on support+query,
+        train-mode BN (reference methods/DKT.py:126-164)."""
+        n_way, n_total = x.shape[0], x.shape[1]
+        z, stats = self._features(params, flatten_episode(x), train=True)
+        targets = one_vs_rest_targets(n_way, n_total)  # [n_way, n_way*k]
+        return -sum_mll(self.gp, params["gp"], z, targets), stats
 
     def episode_loss(self, params, x: Array) -> Array:
-        """-sum_way MLL on one episode, GP conditioned on support+query
-        (reference methods/DKT.py:126-164)."""
-        n_way, n_total = x.shape[0], x.shape[1]
-        k = n_total  # samples per way in the GP train set
-        z = self._features(params, flatten_episode(x))  # [n_way*k, D]
-        targets = one_vs_rest_targets(n_way, k)  # [n_way, n_way*k]
-        return -sum_mll(self.gp, params["gp"], z, targets)
+        return self.episode_loss_train(params, x)[0]
 
     def batch_loss(self, params, xb: Array) -> Array:
-        """Mean episode loss over a batch [B, n_way, S+Q, ...]."""
+        return self.batch_loss_train(params, xb)[0]
+
+    def batch_loss_train(self, params, xb: Array):
+        """(mean episode loss, per-episode-averaged BN stats) over
+        [B, n_way, S+Q, ...]."""
         if self.use_pallas_mll:
             from ..ops.pallas.fused_mll import supports
 
             n = xb.shape[1] * xb.shape[2]
             if supports(self.kernel_type, n):
                 return self._batch_loss_pallas(params, xb)
-        losses = jax.vmap(lambda x: self.episode_loss(params, x))(xb)
-        return jnp.mean(losses)
+        losses, stats = jax.vmap(
+            lambda x: self.episode_loss_train(params, x))(xb)
+        return jnp.mean(losses), stats
 
     def _batch_loss_pallas(self, params, xb: Array) -> Array:
         """Fused-kernel episode batch loss (ops/pallas/fused_mll.py): one
@@ -163,7 +177,8 @@ class DKT:
 
         n_way, n_total = xb.shape[1], xb.shape[2]
         n = n_way * n_total
-        z = jax.vmap(lambda x: self._features(params, flatten_episode(x)))(xb)
+        z, stats = jax.vmap(
+            lambda x: self._features(params, flatten_episode(x), train=True))(xb)
         targets = one_vs_rest_targets(n_way, n_total)  # [W, N]
         gp = params["gp"]
         diffs = targets - gp["mean"]["constant"][:, None]
@@ -173,13 +188,16 @@ class DKT:
             scales = scales * softplus(base["raw_variance"])
         mll = fused_linear_mll(z, diffs, scales, n,
                                float(self.gp.likelihood.fixed_noise))
-        return -jnp.mean(jnp.sum(mll, axis=1))
+        return -jnp.mean(jnp.sum(mll, axis=1)), stats
 
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state: DKTState, xb: Array) -> tuple[DKTState, dict]:
-        loss, grads = jax.value_and_grad(self.batch_loss)(state.params, xb)
+        (loss, stats), grads = jax.value_and_grad(
+            self.batch_loss_train, has_aux=True)(state.params, xb)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # BN running averages (zero-grad leaves; Adam left them untouched)
+        params = {**params, "feature": merge_stats(params["feature"], stats)}
         metrics = {"loss": loss, **self._hyper_metrics(params)}
         return DKTState(params, opt_state, state.step + 1), metrics
 
@@ -209,7 +227,7 @@ class DKT:
         """
         n_way, n_total = x.shape[0], x.shape[1]
         n_support = self.n_support
-        z_all = self._features(params, flatten_episode(x))
+        z_all, _ = self._features(params, flatten_episode(x))
         d = z_all.shape[-1]
         z = z_all.reshape(n_way, n_total, d)
         z_support = z[:, :n_support].reshape(n_way * n_support, d)
@@ -267,7 +285,7 @@ class DKT:
         n_way, n_total = x.shape[0], x.shape[1]
         n_support = self.n_support
         n_query = n_total - n_support
-        z_all = self._features(params, flatten_episode(x))
+        z_all, _ = self._features(params, flatten_episode(x))
         d = z_all.shape[-1]
         z = z_all.reshape(n_way, n_total, d)
         z_support = z[:, :n_support].reshape(n_way * n_support, d)
@@ -289,7 +307,7 @@ class DKT:
             return params
         n_way = x.shape[0]
         n_support = self.n_support
-        z_all = self._features(params, flatten_episode(x))
+        z_all, _ = self._features(params, flatten_episode(x))
         d = z_all.shape[-1]
         z_support = (
             z_all.reshape(n_way, -1, d)[:, :n_support].reshape(n_way * n_support, d)

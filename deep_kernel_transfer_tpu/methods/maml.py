@@ -15,9 +15,10 @@ Semantics preserved:
   * classifier = Linear(feat_dim, n_way), bias zero-init (maml.py:14-15).
   * omniglot overrides n_task=32, task_update_num=1, train_lr=0.1
     (reference train.py:163-172) are plain constructor args.
-  * BatchNorm uses batch statistics in the inner loop (the reference's
-    momentum=1 always-training BN hack, backbone.py:94-102) — our
-    EpisodicBatchNorm does exactly this by construction.
+  * BatchNorm uses batch statistics EVERYWHERE (the reference's momentum=1
+    always-training BatchNorm2d_fw hack, backbone.py:94-102): MAML applies
+    the trunk in train mode at both meta-train and test and discards the
+    running-average updates.
 """
 from __future__ import annotations
 
@@ -37,7 +38,8 @@ class MAMLNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        z = self.backbone(x)
+        # always-training BN (reference BatchNorm2d_fw, backbone.py:94-102)
+        z = self.backbone(x, train=True)
         return nn.Dense(
             self.n_way, bias_init=nn.initializers.zeros
         )(z)
@@ -73,7 +75,7 @@ class MAML(EpisodicMethod):
         """task_update_num inner SGD steps (reference maml.py:42-55)."""
 
         def inner_loss(p):
-            scores = self.net.apply(p, x_support)
+            scores, _ = self.net.apply(p, x_support, mutable=["batch_stats"])
             return jnp.mean(
                 optax.softmax_cross_entropy_with_integer_labels(scores, y_support)
             )
@@ -93,22 +95,27 @@ class MAML(EpisodicMethod):
         x_q = x[:, n_support:].reshape((n_way * (n_total - n_support),) + x.shape[2:])
         y_s = episode_labels(n_way, n_support)
         fast = self._adapt(params, x_s, y_s)
-        return self.net.apply(fast, x_q)
+        scores, _ = self.net.apply(fast, x_q, mutable=["batch_stats"])
+        return scores
 
     # -- EpisodicMethod contract -------------------------------------------
 
     def episode_scores(self, params, x: Array) -> Array:
         return self._forward_episode(params, x)
 
-    def episode_loss(self, params, x: Array) -> Array:
+    def episode_loss_train(self, params, x: Array):
         n_query = x.shape[1] - self.n_support
         scores = self._forward_episode(params, x)
         y_q = episode_labels(x.shape[0], n_query)
-        return jnp.mean(
+        loss = jnp.mean(
             optax.softmax_cross_entropy_with_integer_labels(scores, y_q)
         )
+        return loss, {}  # running averages unused (always-training BN)
 
     def batch_loss(self, params, xb: Array) -> Array:
         """SUM of task losses per outer step (reference maml.py:89-92 stacks
         n_task losses and sums before the single optimizer step)."""
         return jnp.sum(jax.vmap(lambda x: self.episode_loss(params, x))(xb))
+
+    def batch_loss_train(self, params, xb: Array):
+        return self.batch_loss(params, xb), {}

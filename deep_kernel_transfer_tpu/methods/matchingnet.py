@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
-from .base import EpisodicMethod, episode_labels, flatten_episode
+from .base import EpisodicMethod, apply_trunk, episode_labels, flatten_episode
 
 Array = jax.Array
 
@@ -88,10 +88,12 @@ class MatchingNet(EpisodicMethod):
             "FCE": self.FCE.init(kc, dummy_f, dummy_S),
         }
 
-    def _logprobs(self, params, x: Array) -> Array:
+    def _logprobs(self, params, x: Array, train: bool = False):
         n_way, n_total = x.shape[0], x.shape[1]
-        z = self.feature.apply(params["feature"], flatten_episode(x))
-        return self.scores_from_features(params, z.reshape(n_way, n_total, -1))
+        z, stats = apply_trunk(self.feature, params["feature"],
+                               flatten_episode(x), train)
+        scores = self.scores_from_features(params, z.reshape(n_way, n_total, -1))
+        return scores, stats
 
     def scores_from_features(self, params, z: Array) -> Array:
         """[n_way, S+Q, D] features -> log-prob scores (is_feature path)."""
@@ -111,11 +113,12 @@ class MatchingNet(EpisodicMethod):
         return jnp.log(probs + 1e-6)
 
     def episode_scores(self, params, x: Array) -> Array:
-        return self._logprobs(params, x)
+        return self._logprobs(params, x, train=False)[0]
 
-    def episode_loss(self, params, x: Array) -> Array:
+    def episode_loss_train(self, params, x: Array):
         n_query = x.shape[1] - self.n_support
-        logprobs = self._logprobs(params, x)
+        logprobs, stats = self._logprobs(params, x, train=True)
         y_q = episode_labels(x.shape[0], n_query)
         # NLL on logprobs (matchingnet.py:62-68)
-        return -jnp.mean(jnp.take_along_axis(logprobs, y_q[:, None], axis=1))
+        loss = -jnp.mean(jnp.take_along_axis(logprobs, y_q[:, None], axis=1))
+        return loss, {"feature": stats}

@@ -11,7 +11,7 @@ import optax
 from flax import linen as nn
 
 from ..gp.kernels import sq_dist as euclidean_sq  # shared MXU pairwise-dist
-from .base import EpisodicMethod, episode_labels, flatten_episode
+from .base import EpisodicMethod, apply_trunk, episode_labels, flatten_episode
 
 Array = jax.Array
 
@@ -27,10 +27,11 @@ class ProtoNet(EpisodicMethod):
     def init_params(self, key, example_episode):
         return {"feature": self.feature.init(key, flatten_episode(example_episode))}
 
-    def _embed(self, params, x: Array):
+    def _embed(self, params, x: Array, train: bool = False):
         n_way, n_total = x.shape[0], x.shape[1]
-        z = self.feature.apply(params["feature"], flatten_episode(x))
-        return z.reshape(n_way, n_total, -1)
+        z, stats = apply_trunk(self.feature, params["feature"],
+                               flatten_episode(x), train)
+        return z.reshape(n_way, n_total, -1), stats
 
     def scores_from_features(self, params, z: Array) -> Array:
         """[n_way, S+Q, D] features -> scores (is_feature=True path,
@@ -40,13 +41,15 @@ class ProtoNet(EpisodicMethod):
         return -euclidean_sq(z_query, z_proto)
 
     def episode_scores(self, params, x: Array) -> Array:
-        """reference protonet.py:17-26."""
-        return self.scores_from_features(params, self._embed(params, x))
+        """reference protonet.py:17-26 (eval: running-average BN)."""
+        z, _ = self._embed(params, x, train=False)
+        return self.scores_from_features(params, z)
 
-    def episode_loss(self, params, x: Array) -> Array:
+    def episode_loss_train(self, params, x: Array):
         n_query = x.shape[1] - self.n_support
-        scores = self.episode_scores(params, x)
+        z, stats = self._embed(params, x, train=True)
+        scores = self.scores_from_features(params, z)
         y = episode_labels(x.shape[0], n_query)
-        return jnp.mean(
-            optax.softmax_cross_entropy_with_integer_labels(scores, y)
-        )
+        loss = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(scores, y))
+        return loss, {"feature": stats}

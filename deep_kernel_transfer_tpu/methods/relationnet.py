@@ -16,7 +16,7 @@ import optax
 from flax import linen as nn
 
 from ..models.backbones import EpisodicBatchNorm
-from .base import EpisodicMethod, episode_labels, flatten_episode
+from .base import EpisodicMethod, apply_trunk, episode_labels, flatten_episode
 
 Array = jax.Array
 
@@ -28,9 +28,9 @@ class RelationConvBlock(nn.Module):
     padding: int = 0
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
         x = nn.Conv(self.out_dim, (3, 3), padding=self.padding)(x)
-        x = EpisodicBatchNorm()(x)
+        x = EpisodicBatchNorm()(x, use_running_average=not train)
         x = nn.relu(x)
         if x.shape[-3] >= 2 and x.shape[-2] >= 2:  # pool would yield 0-size
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -46,11 +46,11 @@ class RelationModule(nn.Module):
     loss_type: str = "mse"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
         h, w, c = self.feat_shape
         padding = 1 if (h < 10 and w < 10) else 0
-        x = RelationConvBlock(c, padding=padding)(x)
-        x = RelationConvBlock(c, padding=padding)(x)
+        x = RelationConvBlock(c, padding=padding)(x, train)
+        x = RelationConvBlock(c, padding=padding)(x, train)
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(self.hidden_size)(x))
         x = nn.Dense(1)(x)
@@ -89,21 +89,24 @@ class RelationNet(EpisodicMethod):
     def episode_scores(self, params, x: Array) -> Array:
         """[n_way*Q, n_way] relation scores (reference relationnet.py:24-39)."""
         n_way, n_total = x.shape[0], x.shape[1]
-        z = self.feature.apply(params["feature"], flatten_episode(x))
+        z, _ = apply_trunk(self.feature, params["feature"], flatten_episode(x),
+                           train=False)
         h, w, c = self.feat_shape
         return self.scores_from_features(params, z.reshape(n_way, n_total, h, w, c))
 
-    def _pair_scores(self, rel_params, z_proto: Array, z_query: Array) -> Array:
+    def _pair_scores(self, rel_params, z_proto: Array, z_query: Array,
+                     train: bool = False):
         """(query, proto) pair scores: z_proto [n_way, h, w, c],
-        z_query [M, h, w, c] -> [M, n_way]."""
+        z_query [M, h, w, c] -> ([M, n_way], batch_stats|None)."""
         n_way = z_proto.shape[0]
         m = z_query.shape[0]
         h, w, c = self.feat_shape
         proto_ext = jnp.broadcast_to(z_proto[None], (m, n_way, h, w, c))
         query_ext = jnp.broadcast_to(z_query[:, None], (m, n_way, h, w, c))
         pairs = jnp.concatenate([proto_ext, query_ext], axis=-1)
-        rel = self.relation.apply(rel_params, pairs.reshape(-1, h, w, 2 * c))
-        return rel.reshape(m, n_way)
+        rel, stats = apply_trunk(self.relation, rel_params,
+                                 pairs.reshape(-1, h, w, 2 * c), train)
+        return rel.reshape(m, n_way), stats
 
     def scores_from_features(self, params, z: Array) -> Array:
         """[n_way, S+Q, h, w, c] feature maps -> scores (is_feature path)."""
@@ -112,10 +115,12 @@ class RelationNet(EpisodicMethod):
         h, w, c = self.feat_shape
         z_proto = jnp.mean(z[:, :n_support], axis=1)  # [n_way, h, w, c]
         z_query = z[:, n_support:].reshape(-1, h, w, c)
-        return self._pair_scores(params["relation"], z_proto, z_query)
+        return self._pair_scores(params["relation"], z_proto, z_query)[0]
 
     def _scores_loss(self, rel_params, z_proto, z_query, y) -> Array:
-        scores = self._pair_scores(rel_params, z_proto, z_query)
+        # eval-mode BN like the reference's finetune under model.eval()
+        scores, _ = self._pair_scores(rel_params, z_proto, z_query,
+                                      train=False)
         if self.loss_type == "mse":
             return jnp.mean((scores - jax.nn.one_hot(y, z_proto.shape[0])) ** 2)
         return jnp.mean(
@@ -156,15 +161,23 @@ class RelationNet(EpisodicMethod):
             epoch, (params["relation"], tx.init(params["relation"])), keys)
 
         z_proto = jnp.mean(z_support, axis=1)
-        return self._pair_scores(rel_params, z_proto, z_query)
+        return self._pair_scores(rel_params, z_proto, z_query)[0]
 
-    def episode_loss(self, params, x: Array) -> Array:
-        n_query = x.shape[1] - self.n_support
-        scores = self.episode_scores(params, x)
-        y = episode_labels(x.shape[0], n_query)
+    def episode_loss_train(self, params, x: Array):
+        n_way, n_total = x.shape[0], x.shape[1]
+        n_query = n_total - self.n_support
+        h, w, c = self.feat_shape
+        z, f_stats = apply_trunk(self.feature, params["feature"],
+                                 flatten_episode(x), train=True)
+        z = z.reshape(n_way, n_total, h, w, c)
+        z_proto = jnp.mean(z[:, :self.n_support], axis=1)
+        z_query = z[:, self.n_support:].reshape(-1, h, w, c)
+        scores, r_stats = self._pair_scores(params["relation"], z_proto,
+                                            z_query, train=True)
+        y = episode_labels(n_way, n_query)
         if self.loss_type == "mse":
-            y_oh = jax.nn.one_hot(y, x.shape[0])
-            return jnp.mean((scores - y_oh) ** 2)
-        return jnp.mean(
-            optax.softmax_cross_entropy_with_integer_labels(scores, y)
-        )
+            loss = jnp.mean((scores - jax.nn.one_hot(y, n_way)) ** 2)
+        else:
+            loss = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(scores, y))
+        return loss, {"feature": f_stats, "relation": r_stats}

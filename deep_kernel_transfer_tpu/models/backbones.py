@@ -9,12 +9,11 @@ TPU-first design choices (NOT a torch translation):
   * NHWC layout throughout (XLA's preferred conv layout on TPU).
   * Fan-in normal init matching reference backbone.py:13-20 so training
     dynamics are comparable.
-  * BatchNorm always computes batch statistics ("transductive" episodic BN,
-    exactly what the reference does: its BatchNorm2d_fw runs with
-    training=True, momentum=1 — reference backbone.py:94-102 — and its eval
-    path still sees per-episode batches). Computing batch stats is also the
-    only semantics that vmaps cleanly over an episode axis without leaking
-    statistics across episodes.
+  * BatchNorm follows the reference's torch semantics: batch statistics +
+    running-average updates during training (per-episode under vmap, with
+    the per-episode updates averaged), running averages at eval
+    (model.eval() in every reference test path); MAML alone always uses
+    batch statistics (its BatchNorm2d_fw hack, reference backbone.py:94-102).
   * No python control flow on traced values; every module is jit-safe.
 
 MAML "fast weights" (reference backbone.py:54-102 Linear_fw/Conv2d_fw/
@@ -47,29 +46,46 @@ def _conv_fanin_init(key, shape, dtype=jnp.float32):
 
 
 class EpisodicBatchNorm(nn.Module):
-    """BatchNorm that always normalises by the current batch statistics.
+    """BatchNorm with torch-compatible running statistics.
 
-    This is the semantics every reference path actually exercises (episodic
-    batches at both train and eval; MAML BN momentum=1 hack, reference
-    backbone.py:94-102). It is stateless — no running averages — which makes
-    it vmap-safe over a leading episode axis (per-episode statistics, no
-    cross-episode leakage; SURVEY.md §7 hard part (c))."""
+    Train mode (`use_running_average=False`): normalises by the current
+    batch statistics and updates the "batch_stats" running averages with
+    torch's convention (new = (1-m)*old + m*batch, m=0.1, UNBIASED running
+    variance) — the caller must apply with mutable=["batch_stats"] and
+    merge the updates. Eval mode uses the running averages, matching the
+    reference's model.eval() test protocol (e.g. reference
+    methods/DKT.py:245-247); MAML instead always runs train-mode
+    (reference BatchNorm2d_fw, backbone.py:94-102) and discards updates.
 
-    use_running_average: bool = False  # kept for API symmetry; ignored
-    momentum: float = 1.0
+    Statistics are kept in f32 regardless of input dtype (bf16 accumulation
+    over ~1e5 elements loses BN precision in the mixed-precision trunk).
+    """
+
+    momentum: float = 0.1  # torch convention
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, use_running_average: bool = False) -> Array:
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
-        axes = tuple(range(x.ndim - 1))
-        # statistics always in f32: bf16 accumulation over ~1e5 elements
-        # loses BN precision when the trunk runs in mixed precision
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes)
-        var = jnp.mean(jnp.square(xf - mean), axis=axes)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if not self.is_initializing():
+                n = xf.size / features
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return y.astype(x.dtype)
@@ -83,7 +99,7 @@ class ConvBlock(nn.Module):
     padding: int = 1
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
         x = nn.Conv(
             self.out_dim,
             (3, 3),
@@ -91,7 +107,7 @@ class ConvBlock(nn.Module):
             kernel_init=_conv_fanin_init,
             use_bias=True,
         )(x)
-        x = EpisodicBatchNorm()(x)
+        x = EpisodicBatchNorm()(x, use_running_average=not train)
         x = nn.relu(x)
         if self.pool:
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -107,9 +123,9 @@ class ConvNet(nn.Module):
     flatten: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
         for i in range(self.depth):
-            x = ConvBlock(64, pool=(i < 4))(x)
+            x = ConvBlock(64, pool=(i < 4))(x, train)
         if self.flatten:
             x = x.reshape(x.shape[:-3] + (-1,))
         return x
@@ -122,9 +138,10 @@ class ConvNetNopool(nn.Module):
     depth: int
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
         for i in range(self.depth):
-            x = ConvBlock(64, pool=(i in (0, 1)), padding=0 if i in (0, 1) else 1)(x)
+            x = ConvBlock(64, pool=(i in (0, 1)),
+                          padding=0 if i in (0, 1) else 1)(x, train)
         return x
 
 
@@ -136,10 +153,10 @@ class ConvNetS(nn.Module):
     flatten: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
         x = x[..., :1]  # use only the first channel (reference backbone.py:307)
         for i in range(self.depth):
-            x = ConvBlock(64, pool=(i < 4))(x)
+            x = ConvBlock(64, pool=(i < 4))(x, train)
         if self.flatten:
             x = x.reshape(x.shape[:-3] + (-1,))
         return x
@@ -151,10 +168,11 @@ class ConvNetSNopool(nn.Module):
     depth: int
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
         x = x[..., :1]
         for i in range(self.depth):
-            x = ConvBlock(64, pool=(i in (0, 1)), padding=0 if i in (0, 1) else 1)(x)
+            x = ConvBlock(64, pool=(i in (0, 1)),
+                          padding=0 if i in (0, 1) else 1)(x, train)
         return x
 
 
@@ -165,26 +183,27 @@ class SimpleBlock(nn.Module):
     half_res: bool
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        ura = not train
         in_dim = x.shape[-1]
         stride = 2 if self.half_res else 1
         h = nn.Conv(
             self.out_dim, (3, 3), strides=stride, padding=1,
             use_bias=False, kernel_init=_conv_fanin_init,
         )(x)
-        h = EpisodicBatchNorm()(h)
+        h = EpisodicBatchNorm()(h, use_running_average=ura)
         h = nn.relu(h)
         h = nn.Conv(
             self.out_dim, (3, 3), padding=1, use_bias=False,
             kernel_init=_conv_fanin_init,
         )(h)
-        h = EpisodicBatchNorm()(h)
+        h = EpisodicBatchNorm()(h, use_running_average=ura)
         if in_dim != self.out_dim:
             s = nn.Conv(
                 self.out_dim, (1, 1), strides=stride, padding=0,
                 use_bias=False, kernel_init=_conv_fanin_init,
             )(x)
-            s = EpisodicBatchNorm()(s)
+            s = EpisodicBatchNorm()(s, use_running_average=ura)
         else:
             s = x
         return nn.relu(h + s)
@@ -197,21 +216,22 @@ class BottleneckBlock(nn.Module):
     half_res: bool
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        ura = not train
         in_dim = x.shape[-1]
         bottleneck = self.out_dim // 4
         stride = 2 if self.half_res else 1
         h = nn.Conv(bottleneck, (1, 1), use_bias=False, kernel_init=_conv_fanin_init)(x)
-        h = EpisodicBatchNorm()(h)
+        h = EpisodicBatchNorm()(h, use_running_average=ura)
         h = nn.relu(h)
         h = nn.Conv(
             bottleneck, (3, 3), strides=stride, padding=1,
             kernel_init=_conv_fanin_init,
         )(h)
-        h = EpisodicBatchNorm()(h)
+        h = EpisodicBatchNorm()(h, use_running_average=ura)
         h = nn.relu(h)
         h = nn.Conv(self.out_dim, (1, 1), use_bias=False, kernel_init=_conv_fanin_init)(h)
-        h = EpisodicBatchNorm()(h)
+        h = EpisodicBatchNorm()(h, use_running_average=ura)
         if in_dim != self.out_dim:
             s = nn.Conv(
                 self.out_dim, (1, 1), strides=stride, padding=0,
@@ -231,18 +251,18 @@ class ResNet(nn.Module):
     flatten: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
         x = nn.Conv(
             64, (7, 7), strides=2, padding=3, use_bias=False,
             kernel_init=_conv_fanin_init,
         )(x)
-        x = EpisodicBatchNorm()(x)
+        x = EpisodicBatchNorm()(x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i in range(4):
             for j in range(self.num_layers[i]):
                 half_res = (i >= 1) and (j == 0)
-                x = self.block(self.out_dims[i], half_res)(x)
+                x = self.block(self.out_dims[i], half_res)(x, train)
         if self.flatten:
             x = jnp.mean(x, axis=(-3, -2))  # global avg pool (7x7)
         return x
@@ -253,7 +273,8 @@ class Conv3(nn.Module):
     (reference backbone.py:379-402). 100x100 input -> 9x9x36 = 2916."""
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        del train  # no BN in this trunk
         for i in range(3):
             x = nn.Conv(
                 36, (3, 3), strides=2, padding="VALID",
@@ -270,7 +291,8 @@ class MLP2(nn.Module):
     width: int = 40
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        del train  # no BN in this trunk
         x = nn.relu(nn.Dense(self.width)(x))
         x = nn.relu(nn.Dense(self.width)(x))
         return x

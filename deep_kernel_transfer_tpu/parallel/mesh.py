@@ -60,13 +60,23 @@ def make_sharded_train_step(method, mesh: Mesh, axis: str = DATA_AXIS):
     """
     import optax
 
+    from ..methods.base import merge_stats
+
     state_sh = replicated(mesh)
     x_sh = episode_sharding(mesh, axis)
 
     def _step(state, xb):
-        loss, grads = jax.value_and_grad(method.batch_loss)(state.params, xb)
+        (loss, stats), grads = jax.value_and_grad(
+            method.batch_loss_train, has_aux=True)(state.params, xb)
         updates, opt_state = method.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if stats:  # BN running averages (mean over the sharded episode axis)
+            if isinstance(stats, dict) and all(
+                    k in params for k in stats):
+                for k, st in stats.items():
+                    params = {**params, k: merge_stats(params[k], st)}
+            else:
+                params = {**params, "feature": merge_stats(params["feature"], stats)}
         return state._replace(
             params=params, opt_state=opt_state, step=state.step + 1
         ), {"loss": loss}

@@ -71,7 +71,8 @@ def main(argv=None):
     bvars = backbone.init(jax.random.PRNGKey(0), example)
     bvars = load_backbone_from(ckpt_file, bvars)
 
-    embed = jax.jit(lambda x: backbone.apply(bvars, x))
+    # eval-mode BN: running statistics -> deterministic per-image features
+    embed = jax.jit(lambda x: backbone.apply(bvars, x, train=False))
     loader = SimpleDataLoader(split_file, image_size, batch_size=64, aug=False)
     feats, labels = [], []
     for i, (x, y) in enumerate(loader):

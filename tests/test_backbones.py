@@ -21,7 +21,8 @@ from deep_kernel_transfer_tpu.models import (
 def _init_apply(model, shape):
     x = jnp.zeros(shape, jnp.float32)
     vars_ = model.init(jax.random.PRNGKey(0), x)
-    return model.apply(vars_, x)
+    out, _ = model.apply(vars_, x, mutable=["batch_stats"])
+    return out
 
 
 def test_conv4_feat_dim_84():
@@ -71,11 +72,40 @@ def test_dist_linear_scores_bounded():
 
 
 def test_batchnorm_is_per_episode_under_vmap():
-    """BN statistics must not leak across vmapped episodes
+    """Train-mode BN statistics must not leak across vmapped episodes
     (SURVEY.md §7 hard part (c))."""
     model = Conv4S()
     x = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 28, 28, 3))
     vars_ = model.init(jax.random.PRNGKey(0), x[0])
-    batched = jax.vmap(lambda e: model.apply(vars_, e))(x)
-    single = model.apply(vars_, x[1])
-    np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single), rtol=2e-2, atol=2e-3)
+
+    def fwd(e):
+        out, _ = model.apply(vars_, e, train=True, mutable=["batch_stats"])
+        return out
+
+    batched = jax.vmap(fwd)(x)
+    single = fwd(x[1])
+    np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(single),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_batchnorm_running_stats_update_and_eval():
+    """Torch-convention running averages: train mode updates them, eval
+    mode uses them (the reference's model.eval() test protocol)."""
+    model = Conv4S()
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (16, 28, 28, 3)) * 2.0 + 1.0
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    stats0 = vars_["batch_stats"]
+
+    out_train, mut = model.apply(vars_, x, train=True,
+                                 mutable=["batch_stats"])
+    stats1 = mut["batch_stats"]
+    # stats moved toward the batch statistics
+    l0, l1 = jax.tree.leaves(stats0), jax.tree.leaves(stats1)
+    assert any(float(jnp.abs(a - b).max()) > 1e-6 for a, b in zip(l0, l1))
+
+    # eval with updated stats is deterministic and batch-independent
+    vars2 = {**vars_, "batch_stats": stats1}
+    e1 = model.apply(vars2, x[:4], train=False)
+    e2 = model.apply(vars2, x[:8], train=False)[:4]
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
