@@ -1,6 +1,7 @@
 """Mesh / sharding utilities for episode-parallel TPU training."""
 from .mesh import (
     DATA_AXIS,
+    distribute_local_episodes,
     episode_sharding,
     make_mesh,
     make_sharded_eval,
@@ -11,6 +12,6 @@ from .mesh import (
 )
 
 __all__ = [
-    "DATA_AXIS", "episode_sharding", "make_mesh", "make_sharded_eval", "make_sharded_train_step",
+    "DATA_AXIS", "distribute_local_episodes", "episode_sharding", "make_mesh", "make_sharded_eval", "make_sharded_train_step",
     "replicate_tree", "replicated", "shard_episode_batch",
 ]

@@ -45,6 +45,18 @@ def shard_episode_batch(xb: Array, mesh: Mesh, axis: str = DATA_AXIS) -> Array:
     return jax.device_put(xb, episode_sharding(mesh, axis))
 
 
+def distribute_local_episodes(xb_local, mesh: Mesh,
+                              axis: str = DATA_AXIS) -> Array:
+    """Multi-host assembly: each process contributes its LOCAL episode batch
+    [B_local, ...]; the result is the global [B_local * n_processes, ...]
+    array sharded over the mesh (SURVEY.md §5: per-process host loading via
+    jax.make_array_from_process_local_data; gradients still reduce over ICI
+    inside the jitted step). On a single process this is equivalent to
+    shard_episode_batch."""
+    return jax.make_array_from_process_local_data(
+        episode_sharding(mesh, axis), np.asarray(xb_local))
+
+
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

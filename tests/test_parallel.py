@@ -93,3 +93,15 @@ def test_gradients_synchronised_across_shards():
     state2, _ = step(replicate_tree(state, mesh), shard_episode_batch(jnp.asarray(x), mesh))
     leaf = jax.tree.leaves(state2.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_distribute_local_episodes_single_process():
+    """On one process this equals shard_episode_batch (multi-host entry
+    point, jax.make_array_from_process_local_data)."""
+    from deep_kernel_transfer_tpu.parallel import distribute_local_episodes
+
+    mesh = make_mesh(8)
+    x = np.arange(8 * 2 * 3, dtype=np.float32).reshape(8, 2, 3)
+    arr = distribute_local_episodes(x, mesh)
+    assert arr.shape == (8, 2, 3)
+    np.testing.assert_allclose(np.asarray(arr), x)
