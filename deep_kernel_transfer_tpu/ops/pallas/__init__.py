@@ -1,4 +1,4 @@
 """Pallas TPU kernels. See fused_mll for the fused GP-MLL episode kernel."""
-from . import fused_mll
+from . import blocked_cholesky, fused_mll
 
-__all__ = ["fused_mll"]
+__all__ = ["blocked_cholesky", "fused_mll"]

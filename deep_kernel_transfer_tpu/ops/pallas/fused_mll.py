@@ -65,7 +65,8 @@ def _episode_kernel(z_ref, diffs_ref, scales_ref, out_ref, chol_ref,
     # MXU: G = Z Z^T (padded rows are zero -> zero rows/cols in G)
     gram[...] = jax.lax.dot_general(
         z, z, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     rows2d = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 0)
     cols2d = jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)

@@ -28,7 +28,9 @@ scales = np.linspace(0.4, 1.5, W).astype(np.float32)
 
 def ref_mll(z, diffs, scales):
     def one(zb, dw, sw):
-        K = sw * (zb @ zb.T) + (0.1 + 1e-6) * jnp.eye(N)
+        # HIGHEST to match the kernel's pinned MXU precision
+        gram = jnp.dot(zb, zb.T, precision=jax.lax.Precision.HIGHEST)
+        K = sw * gram + (0.1 + 1e-6) * jnp.eye(N)
         L = jnp.linalg.cholesky(K)
         al = jax.scipy.linalg.cho_solve((L, True), dw)
         return -0.5*(dw @ al + 2*jnp.sum(jnp.log(jnp.diagonal(L)))
@@ -90,3 +92,57 @@ def test_fused_mll_parity_on_tpu():
 
 def test_dkt_pallas_flag_matches_xla_on_tpu():
     _run_on_tpu(_DKT_SCRIPT, "DKT_OK")
+
+
+_BLOCKED_SCRIPT = r"""
+import numpy as np, jax, jax.numpy as jnp
+if jax.default_backend() not in ("tpu", "axon"):
+    print("NO_TPU"); raise SystemExit(0)
+from deep_kernel_transfer_tpu.ops.pallas.blocked_cholesky import blocked_cholesky
+
+rng = np.random.RandomState(0)
+for N in (256, 512):
+    B = 2
+    z = rng.randn(B, N, N // 2).astype(np.float32)
+    K = jnp.asarray(z @ np.transpose(z, (0, 2, 1))
+                    + 0.5 * np.eye(N, dtype=np.float32))
+    L = np.asarray(blocked_cholesky(K))
+    rec = L @ np.transpose(L, (0, 2, 1))
+    rel = np.abs(rec - np.asarray(K)).max() / np.abs(np.asarray(K)).max()
+    assert not np.isnan(L).any() and rel < 1e-5, (N, rel)
+    assert np.abs(np.triu(L[0], 1)).max() == 0.0  # exactly lower triangular
+
+# gradient parity vs XLA cholesky through a logdet
+N, B = 256, 2
+z = rng.randn(B, N, N // 2).astype(np.float32)
+K = jnp.asarray(z @ np.transpose(z, (0, 2, 1))
+                + 0.5 * np.eye(N, dtype=np.float32))
+def f(chol_fn, K):
+    L = chol_fn(K)
+    return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+gp = jax.grad(lambda K: f(blocked_cholesky, K))(K)
+gx = jax.grad(lambda K: f(jnp.linalg.cholesky, K))(K)
+rel = float(jnp.abs(gp - gx).max() / (jnp.abs(gx).max() + 1e-9))
+assert rel < 2e-2, rel
+print("BLOCKED_OK")
+"""
+
+
+def test_blocked_cholesky_on_tpu():
+    _run_on_tpu(_BLOCKED_SCRIPT, "BLOCKED_OK")
+
+
+def test_blocked_cholesky_fallback_shapes():
+    """Non-tile-aligned or oversized N falls back to XLA (runs on CPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from deep_kernel_transfer_tpu.ops.pallas.blocked_cholesky import _forward
+
+    rng = np.random.RandomState(0)
+    z = rng.randn(2, 50, 30).astype(np.float32)
+    K = jnp.asarray(z @ np.transpose(z, (0, 2, 1))
+                    + 0.5 * np.eye(50, dtype=np.float32))
+    L = _forward(K)  # 50 % 128 != 0 -> XLA path
+    np.testing.assert_allclose(np.asarray(L), np.asarray(jnp.linalg.cholesky(K)),
+                               atol=1e-5)
