@@ -13,8 +13,9 @@ identity block (unit diagonal, zero off-diagonal, zero targets) that
 contributes exactly zero to logdet and quadratic form. Larger support sets
 fall back to the XLA path (deep_kernel_transfer_tpu/gp/exact.py).
 
-Measured on one v5e chip (B=16 episodes, N=100, D=1600, W=5):
-forward 7.7ms vs XLA 4.2ms; grad 8.4ms vs XLA 3.7ms — XLA's native batched
+Measured on one v5e chip (B=16 episodes, N=100, D=1600, W=5, MXU dots
+pinned to precision=HIGHEST): forward 8.8ms vs XLA 4.2ms; grad 8.7ms vs
+XLA 3.7ms — XLA's native batched
 Cholesky wins at single-tile sizes because the Mosaic lowering forbids
 dynamically-indexed lane reads, forcing each of the N sequential
 factorisation steps to be a full-tile masked reduce. The kernel is

@@ -74,6 +74,19 @@ def test_train_save_features_and_test_protonet(dataset_cwd):
     assert "omniglot-Conv4S-protonet" in txt
 
 
+def test_dkt_laplace_and_adaptation_heads(dataset_cwd):
+    """--laplace (Laplace GPC head) and --adaptation (GP hyperparameter
+    finetune) test-time variants over the trained DKT checkpoint."""
+    ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
+    assert os.path.isfile(ckpt), "run order: DKT train must come first"
+    test_cli.main(COMMON + ["--method=DKT", "--n_iter=1", "--repeat=1",
+                            "--laplace"])
+    test_cli.main(COMMON + ["--method=DKT", "--n_iter=1", "--repeat=1",
+                            "--adaptation"])
+    txt = open("record/results.txt").read()
+    assert "-adapted" in txt
+
+
 def test_uncertainty_cli_runs_after_dkt(dataset_cwd):
     """ECE + temperature-scaling pipeline over the DKT checkpoint
     (reference test_uncertainty.py protocol)."""
