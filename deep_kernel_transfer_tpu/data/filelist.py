@@ -132,20 +132,23 @@ class EpisodicDataLoader:
         _SENTINEL = object()
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch in self._batches():
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_or_stop(batch):
                         return
-                q.put(_SENTINEL)
+                put_or_stop(_SENTINEL)
             except BaseException as e:  # propagate decode errors, don't
-                q.put(e)                # silently truncate the epoch
+                put_or_stop(e)          # silently truncate the epoch
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

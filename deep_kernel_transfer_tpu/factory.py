@@ -38,7 +38,7 @@ def resolve_data_files(params, split_for_test: str | None = None):
     """(base_file, val_file) for training, or the single test-split file.
 
     reference train.py:73-81, test.py (via save_features.py:35-49)."""
-    d = {k: v for k, v in configs.data_dir.items()}
+    d = configs.data_dir
     if split_for_test is not None:
         split = split_for_test
         if params.dataset == "cross":

@@ -166,7 +166,7 @@ class DKT:
                 return self._batch_loss_pallas(params, xb)
         losses, stats = jax.vmap(
             lambda x: self.episode_loss_train(params, x))(xb)
-        return jnp.mean(losses), stats
+        return jnp.mean(losses), {"feature": stats}
 
     def _batch_loss_pallas(self, params, xb: Array) -> Array:
         """Fused-kernel episode batch loss (ops/pallas/fused_mll.py): one
@@ -188,7 +188,7 @@ class DKT:
             scales = scales * softplus(base["raw_variance"])
         mll = fused_linear_mll(z, diffs, scales, n,
                                float(self.gp.likelihood.fixed_noise))
-        return -jnp.mean(jnp.sum(mll, axis=1)), stats
+        return -jnp.mean(jnp.sum(mll, axis=1)), {"feature": stats}
 
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state: DKTState, xb: Array) -> tuple[DKTState, dict]:
@@ -197,7 +197,8 @@ class DKT:
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # BN running averages (zero-grad leaves; Adam left them untouched)
-        params = {**params, "feature": merge_stats(params["feature"], stats)}
+        for key, st in (stats or {}).items():
+            params = {**params, key: merge_stats(params[key], st)}
         metrics = {"loss": loss, **self._hyper_metrics(params)}
         return DKTState(params, opt_state, state.step + 1), metrics
 

@@ -140,28 +140,41 @@ class RelationNet(EpisodicMethod):
         h, w, c = self.feat_shape
         z_support = z[:, :n_support]  # [n_way, S, h, w, c]
         z_query = z[:, n_support:].reshape(-1, h, w, c)
+        z_proto_full = jnp.mean(z_support, axis=1)
 
-        sub_s = min(3, max(1, n_support - 1))  # reference hardcodes 3/2
-        sub_q = max(1, min(2, n_support - sub_s))
+        if n_support < 2:  # no support left to form a finetune sub-split
+            return self._pair_scores(params["relation"], z_proto_full,
+                                     z_query)[0]
+
+        sub_s = min(3, n_support - 1)  # reference hardcodes 3/2
+        sub_q = min(2, n_support - sub_s)
         y_sub = episode_labels(n_way, sub_q)
         tx = torch_sgd()
+        # finetune ONLY the weights; BN running statistics stay frozen
+        # (reference optimizes module.parameters() under model.eval())
+        rel_vars = params["relation"]
+        frozen = {k: v for k, v in rel_vars.items() if k != "params"}
+
+        def loss_fn(p, proto, query):
+            return self._scores_loss({"params": p, **frozen}, proto, query,
+                                     y_sub)
 
         def epoch(carry, k):
-            rel_params, opt_state = carry
+            p, opt_state = carry
             perm = jax.random.permutation(k, n_support)
             zz = z_support[:, perm]
             proto = jnp.mean(zz[:, :sub_s], axis=1)
             query = zz[:, sub_s:sub_s + sub_q].reshape(-1, h, w, c)
-            grads = jax.grad(self._scores_loss)(rel_params, proto, query, y_sub)
-            updates, opt_state = tx.update(grads, opt_state, rel_params)
-            return (optax.apply_updates(rel_params, updates), opt_state), None
+            grads = jax.grad(loss_fn)(p, proto, query)
+            updates, opt_state = tx.update(grads, opt_state, p)
+            return (optax.apply_updates(p, updates), opt_state), None
 
         keys = jax.random.split(key, 100)
-        (rel_params, _), _ = jax.lax.scan(
-            epoch, (params["relation"], tx.init(params["relation"])), keys)
+        (p, _), _ = jax.lax.scan(
+            epoch, (rel_vars["params"], tx.init(rel_vars["params"])), keys)
 
-        z_proto = jnp.mean(z_support, axis=1)
-        return self._pair_scores(rel_params, z_proto, z_query)[0]
+        return self._pair_scores({"params": p, **frozen}, z_proto_full,
+                                 z_query)[0]
 
     def episode_loss_train(self, params, x: Array):
         n_way, n_total = x.shape[0], x.shape[1]

@@ -157,8 +157,9 @@ def _forward(kmat: Array) -> Array:
         out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-        # alias K -> L: halves VMEM residency, which is what lets the
-        # whole-matrix-in-VMEM approach reach N=1024 (4 MB per buffer)
+        # alias K -> L: halves HBM residency and lets the compiler reuse
+        # the buffer (the pipeline still double-buffers in/out, which is
+        # what caps N at 512 under the 16 MB scoped-vmem limit)
         input_output_aliases={0: 0},
         scratch_shapes=[
             pltpu.VMEM((n, n), jnp.float32),

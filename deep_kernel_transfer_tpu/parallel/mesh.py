@@ -82,13 +82,10 @@ def make_sharded_train_step(method, mesh: Mesh, axis: str = DATA_AXIS):
             method.batch_loss_train, has_aux=True)(state.params, xb)
         updates, opt_state = method.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        if stats:  # BN running averages (mean over the sharded episode axis)
-            if isinstance(stats, dict) and all(
-                    k in params for k in stats):
-                for k, st in stats.items():
-                    params = {**params, k: merge_stats(params[k], st)}
-            else:
-                params = {**params, "feature": merge_stats(params["feature"], stats)}
+        # BN running averages, {param_top_key: updates} per the
+        # episode_loss_train contract (mean over the sharded episode axis)
+        for k, st in (stats or {}).items():
+            params = {**params, k: merge_stats(params[k], st)}
         return state._replace(
             params=params, opt_state=opt_state, step=state.step + 1
         ), {"loss": loss}

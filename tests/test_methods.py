@@ -198,3 +198,20 @@ def test_torch_sgd_first_step_matches_torch():
     # a different gradient now moves the EMA slowly
     u3, _ = tx.update(jnp.asarray(0.0), opt, p)
     np.testing.assert_allclose(float(u3), -0.1 * 0.9 * 2.0, rtol=1e-6)
+
+
+def test_relationnet_adapted_scores_one_shot():
+    """n_support=1 leaves no finetune sub-split; adaptation degrades
+    gracefully to plain scoring instead of crashing."""
+    m = RelationNet(ConvNetSNopool(depth=2), feat_shape=(2, 2, 64),
+                    n_way=N_WAY, n_support=1, loss_type="mse")
+    rng = np.random.RandomState(6)
+    ep = jnp.asarray(synthetic_episode(rng, k=1 + N_QUERY))
+    state = m.init(jax.random.PRNGKey(0), ep)
+    z = m.feature.apply(state.params["feature"],
+                        ep.reshape((-1,) + ep.shape[2:]), train=False)
+    z = z.reshape(N_WAY, 1 + N_QUERY, 2, 2, 64)
+    scores = m.adapted_scores_from_features(state.params, z,
+                                            jax.random.PRNGKey(1))
+    assert scores.shape == (N_WAY * N_QUERY, N_WAY)
+    assert np.isfinite(np.asarray(scores)).all()
