@@ -5,6 +5,14 @@ The reference stores torch state_dicts at
 with discovery helpers get_assigned/resume/best_file (io_utils.py:66-86).
 We keep the exact file naming and discovery logic; the payload is a flat
 npz of the jax pytree leaves keyed by tree path (portable, no pickle).
+
+Why npz rather than Orbax: the models here are tiny (<= 44 M params,
+single-file, synchronous save at epoch boundaries) and the reference's
+discovery contract is path-glob based — a flat npz keeps the exact
+`.tar` names, loads with zero extra dependencies, and round-trips any
+pytree (params + batch_stats + opt state) byte-for-byte. Orbax's async
+multi-file checkpointing buys nothing at this scale and would break the
+single-file naming the reference's tooling (and test.py) globs for.
 """
 from __future__ import annotations
 

@@ -110,3 +110,23 @@ def test_reset_opt_state(trained):
     leaves = jax.tree.leaves(fresh.opt_state)
     arrs = [l for l in leaves if hasattr(l, "shape") and getattr(l, "size", 0) > 0]
     assert all(float(jnp.abs(a).sum()) == 0 for a in arrs if a.dtype != jnp.int32)
+
+
+@pytest.mark.parametrize("kernel_type", ["linear", "rbf", "matern", "poli1",
+                                         "poli2", "cossim", "bncossim"])
+def test_all_kernel_types_train_and_score(kernel_type):
+    """Every reference kernel_type (reference methods/DKT.py:351-372) runs a
+    finite train step and produces valid scores through DKT."""
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.models.backbones import ConvNetS
+
+    model = DKT(ConvNetS(depth=2), n_way=3, n_support=2,
+                kernel_type=kernel_type, feature_dtype="float32")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 3, 5, 16, 16, 3).astype(np.float32))
+    state = model.init(jax.random.PRNGKey(0), x[0])
+    state, m = model.train_step(state, x)
+    assert np.isfinite(float(m["loss"])), kernel_type
+    scores = model.episode_scores(state.params, x[0])
+    assert scores.shape == (9, 3)
+    assert np.isfinite(np.asarray(scores)).all(), kernel_type
