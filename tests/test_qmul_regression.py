@@ -76,3 +76,41 @@ def test_feature_transfer_on_qmul_images(qmul_dir):
     mse = model.test_mse(state, jnp.asarray(x[0][:5]), jnp.asarray(y[0][:5]),
                          jnp.asarray(x[0]), jnp.asarray(y[0]))
     assert np.isfinite(mse)
+
+
+def test_dkt_regression_spectral_full_dim(qmul_dir):
+    """Spectral-mixture kernel at the reference's full ard_num_dims
+    (reference methods/DKT_regression.py:122 uses 2916 = Conv3 dim; our
+    small test images give a smaller dim, derived from the trunk output)."""
+    rng = np.random.RandomState(4)
+    x, y = qmul.get_batch(PEOPLE, rng, prefix=qmul_dir)
+    # derive the actual Conv3 feature dim for SIZE-px inputs
+    bb = Conv3()
+    v = bb.init(jax.random.PRNGKey(0), jnp.asarray(x[0][:1]))
+    d = int(bb.apply(v, jnp.asarray(x[0][:1])).shape[-1])
+    model = DKTRegression(Conv3(), feat_dim=d, kernel_type="spectral")
+    state = model.init(jax.random.PRNGKey(0), jnp.asarray(x[0]))
+    state, m = model.train_step(state, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_train_regression_cli_resume(qmul_dir, monkeypatch, tmp_path):
+    """train_regression.py end-to-end incl. --resume (QMUL track CLI)."""
+    import os
+    import shutil
+
+    import train_regression as tr_cli
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        dst = tmp_path / "filelists" / "QMUL" / "images"
+        shutil.copytree(qmul_dir, dst)
+        monkeypatch.setattr(tr_cli, "train_people", PEOPLE)
+        tr_cli.main(["--dataset=QMUL", "--model=Conv3", "--method=DKT",
+                     "--stop_epoch=2"])
+        assert os.path.isfile("save/checkpoints/QMUL/Conv3_DKT/best_model.tar")
+        tr_cli.main(["--dataset=QMUL", "--model=Conv3", "--method=DKT",
+                     "--stop_epoch=3", "--resume"])
+    finally:
+        os.chdir(cwd)

@@ -49,7 +49,18 @@ def main(argv=None):
     os.makedirs(ckpt_dir, exist_ok=True)
     print(f"checkpoint dir: {ckpt_dir}")
 
-    for epoch in range(params_cli.start_epoch, params_cli.stop_epoch):
+    start_epoch = params_cli.start_epoch
+    if params_cli.resume:
+        from deep_kernel_transfer_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt = os.path.join(ckpt_dir, "best_model.tar")
+        if os.path.isfile(ckpt):
+            params, epoch = load_checkpoint(ckpt, state.params)
+            state = state._replace(params=params)
+            start_epoch = epoch + 1
+            print(f"resumed from {ckpt} (epoch {epoch})")
+
+    for epoch in range(start_epoch, params_cli.stop_epoch):
         xb, yb = get_batch(train_people, rng)
         xb, yb = jnp.asarray(xb), jnp.asarray(yb)
         if params_cli.task_batch == 1 and hasattr(model, "unbatched_train_step"):
