@@ -3,15 +3,18 @@ from .mesh import (
     DATA_AXIS,
     distribute_local_episodes,
     episode_sharding,
+    MODEL_AXIS,
     make_mesh,
+    make_mesh_2d,
     make_sharded_eval,
     make_sharded_train_step,
     replicate_tree,
+    tensor_sharding_rules,
     replicated,
     shard_episode_batch,
 )
 
 __all__ = [
-    "DATA_AXIS", "distribute_local_episodes", "episode_sharding", "make_mesh", "make_sharded_eval", "make_sharded_train_step",
+    "DATA_AXIS", "MODEL_AXIS", "make_mesh_2d", "tensor_sharding_rules", "distribute_local_episodes", "episode_sharding", "make_mesh", "make_sharded_eval", "make_sharded_train_step",
     "replicate_tree", "replicated", "shard_episode_batch",
 ]

@@ -31,6 +31,13 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2d(dp: int, tp: int) -> Mesh:
+    """(dp, tp) mesh: episodes sharded over dp, large params optionally
+    sharded over tp (tensor_sharding_rules)."""
+    devices = np.array(jax.devices()[: dp * tp]).reshape(dp, tp)
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
 def episode_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading episode-batch axis; replicate the rest."""
     return NamedSharding(mesh, P(axis))
@@ -62,22 +69,30 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def make_sharded_train_step(method, mesh: Mesh, axis: str = DATA_AXIS):
-    """jit the method's train step with episode-sharded input and replicated
-    state. `method` must expose .batch_loss(params, xb) and .tx.
+def make_sharded_train_step(method, mesh: Mesh, axis: str = DATA_AXIS,
+                            param_shardings: Any = None):
+    """jit the method's train step with episode-sharded input. `method`
+    must expose .batch_loss_train(params, xb) and .tx.
 
-    The mean over the (sharded) episode axis inside batch_loss is what XLA
-    lowers to a psum over ICI — the entire data-parallel step is one
-    compiled program per device.
+    Default: state replicated; the mean over the (sharded) episode axis
+    inside the loss is what XLA lowers to a psum over ICI — the whole
+    data-parallel step is one compiled program per device.
+
+    With `param_shardings` (a NamedSharding pytree over method params, e.g.
+    from tensor_sharding_rules on a 2-D dp x tp mesh), the params are
+    constrained to that layout inside the step and XLA inserts the
+    all-gathers/reduce-scatters; other shardings are compiler-propagated.
     """
     import optax
 
     from ..methods.base import merge_stats
 
-    state_sh = replicated(mesh)
     x_sh = episode_sharding(mesh, axis)
 
     def _step(state, xb):
+        if param_shardings is not None:
+            state = state._replace(params=jax.lax.with_sharding_constraint(
+                state.params, param_shardings))
         (loss, stats), grads = jax.value_and_grad(
             method.batch_loss_train, has_aux=True)(state.params, xb)
         updates, opt_state = method.tx.update(grads, state.opt_state, state.params)
@@ -90,11 +105,38 @@ def make_sharded_train_step(method, mesh: Mesh, axis: str = DATA_AXIS):
             params=params, opt_state=opt_state, step=state.step + 1
         ), {"loss": loss}
 
-    return jax.jit(
-        _step,
-        in_shardings=(state_sh, x_sh),
-        out_shardings=(state_sh, state_sh),
-    )
+    if param_shardings is None:
+        state_sh: Any = replicated(mesh)
+        return jax.jit(_step, in_shardings=(state_sh, x_sh),
+                       out_shardings=(state_sh, state_sh))
+    # tensor-parallel mode: episode input pinned, everything else inferred /
+    # propagated by the compiler from the in-step constraints
+    return jax.jit(_step, in_shardings=(None, x_sh))
+
+
+MODEL_AXIS = "tp"
+
+
+def tensor_sharding_rules(params: Any, mesh: Mesh, axis: str = MODEL_AXIS,
+                          min_size: int = 1 << 16) -> Any:
+    """Optional tensor-parallel param shardings (SURVEY.md §2.2: TP is not
+    NEEDED at these model sizes — <= 44 M params — but the rules are exposed
+    anyway). Shards the trailing (output-channel) dimension of every large
+    leaf over the model axis when it divides evenly; everything else is
+    replicated. XLA inserts the all-gathers/reduce-scatters.
+
+    Returns a pytree of NamedShardings matching `params`, usable as the
+    `param_shardings` argument of make_sharded_train_step."""
+    n = mesh.shape[axis]
+
+    def rule(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.size >= min_size
+                and leaf.shape[-1] % n == 0):
+            spec = [None] * (leaf.ndim - 1) + [axis]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
 
 
 def make_sharded_eval(method, mesh: Mesh, axis: str = DATA_AXIS):

@@ -105,3 +105,31 @@ def test_distribute_local_episodes_single_process():
     arr = distribute_local_episodes(x, mesh)
     assert arr.shape == (8, 2, 3)
     np.testing.assert_allclose(np.asarray(arr), x)
+
+
+def test_tensor_parallel_step_matches_replicated():
+    """Optional TP (SURVEY.md §2.2): params sharded over a 2x4 dp x tp mesh
+    produce the same loss/params as the replicated step."""
+    from deep_kernel_transfer_tpu.parallel import (
+        make_mesh_2d,
+        tensor_sharding_rules,
+    )
+
+    n_way, n_support, n_query = 3, 2, 3
+    model = DKT(ConvNetS(depth=2), n_way=n_way, n_support=n_support,
+                kernel_type="bncossim", feature_dtype="float32")
+    rng = np.random.RandomState(3)
+    x = rng.randn(8, n_way, n_support + n_query, 16, 16, 3).astype(np.float32)
+    state = model.init(jax.random.PRNGKey(0), jnp.asarray(x[0]))
+    loss_ref = float(model.batch_loss(state.params, jnp.asarray(x)))
+
+    mesh = make_mesh_2d(dp=2, tp=4)
+    rules = tensor_sharding_rules(state.params, mesh, min_size=1 << 10)
+    # at least one leaf actually sharded over tp
+    assert any(s.spec != jax.sharding.PartitionSpec()
+               for s in jax.tree.leaves(rules))
+    step = make_sharded_train_step(model, mesh, param_shardings=rules)
+    state2, m2 = step(state, shard_episode_batch(jnp.asarray(x), mesh))
+    np.testing.assert_allclose(float(m2["loss"]), loss_ref, rtol=1e-4)
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(state2.params)[0])).all()
