@@ -76,6 +76,12 @@ class EpisodicDataLoader:
     Each episode: n_way classes sampled without replacement, then
     n_support+n_query images per class without replacement (with replacement
     only if a class is too small). Yields [B, n_way, S+Q, H, W, C].
+
+    Eval loaders (aug=False) keep a size-bounded LRU of transformed arrays:
+    the deterministic transform makes caching sound, and a 600-episode test
+    run re-decodes each novel-class image many times otherwise (the
+    reference amortised this with 12 DataLoader workers; this host has one
+    core). `cache_bytes=0` disables it; augmented loaders never cache.
     """
 
     def __init__(
@@ -90,6 +96,7 @@ class EpisodicDataLoader:
         aug: bool = False,
         seed: int = 0,
         prefetch: bool = True,
+        cache_bytes: int = 1 << 30,
     ):
         self.sub_meta = FileListMeta(data_file).by_class()
         self.classes = sorted(self.sub_meta.keys())
@@ -100,10 +107,32 @@ class EpisodicDataLoader:
         self.transform = TransformPipeline(image_size, aug, seed=seed)
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        self._cache: "dict[str, np.ndarray]" = {}
+        self._cache_bytes = 0
+        self._cache_cap = 0 if aug else cache_bytes
 
     def __len__(self) -> int:
         """Number of yielded batches (episodes / batch)."""
         return -(-self.n_episodes // self.episode_batch)
+
+    def _load(self, path: str) -> np.ndarray:
+        if self._cache_cap == 0:
+            return self.transform.load(path)
+        arr = self._cache.get(path)
+        if arr is None:
+            arr = self.transform.load(path)
+            # evict least-recently-used until it fits
+            while (self._cache_bytes + arr.nbytes > self._cache_cap
+                   and self._cache):
+                old = self._cache.pop(next(iter(self._cache)))
+                self._cache_bytes -= old.nbytes
+            if self._cache_bytes + arr.nbytes <= self._cache_cap:
+                self._cache[path] = arr
+                self._cache_bytes += arr.nbytes
+        else:  # LRU: move to the end (dicts preserve insertion order)
+            self._cache.pop(path)
+            self._cache[path] = arr
+        return arr
 
     def _one_episode(self) -> np.ndarray:
         way_ids = self.rng.permutation(len(self.classes))[: self.n_way]
@@ -113,7 +142,7 @@ class EpisodicDataLoader:
             replace = len(paths) < self.k
             img_ids = self.rng.choice(len(paths), self.k, replace=replace)
             episode.append(
-                np.stack([self.transform.load(paths[j]) for j in img_ids])
+                np.stack([self._load(paths[j]) for j in img_ids])
             )
         return np.stack(episode)  # [n_way, S+Q, H, W, C]
 

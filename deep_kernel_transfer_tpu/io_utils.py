@@ -41,6 +41,9 @@ def parse_args(script: str, argv=None):
     parser.add_argument("--feature_dtype", default="bfloat16",
                         help="trunk compute dtype: bfloat16 (MXU-native, "
                              "default) or float32 (exact parity)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture an XProf device trace of the first "
+                             "training epoch into this directory")
 
     if script == "train":
         parser.add_argument("--num_classes", default=200, type=int,

@@ -102,3 +102,39 @@ def test_qmul_trajectory_math():
     # pitches land on the 10-degree grid within [60, 120]
     assert all(p % 10 == 0 for p in pitches)
     assert all(0 <= p <= 130 for p in pitches)
+
+
+def test_eval_loader_cache_reuses_and_matches(tmp_path):
+    """aug=False loaders cache transformed arrays (LRU); cached and
+    uncached loaders yield identical episodes, and the cache is bounded."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from deep_kernel_transfer_tpu.data import EpisodicDataLoader
+
+    rng = np.random.RandomState(0)
+    names, labels = [], []
+    for cl in range(4):
+        for i in range(6):
+            p = tmp_path / f"c{cl}_{i}.jpg"
+            Image.fromarray((rng.rand(28, 28, 3) * 255).astype(np.uint8)).save(p)
+            names.append(str(p)); labels.append(cl)
+    meta = {"label_names": list("abcd"), "image_names": names,
+            "image_labels": labels}
+    f = tmp_path / "novel.json"
+    json.dump(meta, open(f, "w"))
+
+    kw = dict(image_size=28, n_way=3, n_support=2, n_query=2, n_episodes=6,
+              episode_batch=2, aug=False, seed=7, prefetch=False)
+    cached = EpisodicDataLoader(str(f), cache_bytes=1 << 26, **kw)
+    uncached = EpisodicDataLoader(str(f), cache_bytes=0, **kw)
+    for a, b in zip(cached, uncached):
+        np.testing.assert_allclose(a, b)
+    assert cached._cache_bytes > 0
+    # tiny cap forces eviction but never exceeds the cap
+    tiny = EpisodicDataLoader(str(f), cache_bytes=2 * 28 * 28 * 3 * 4 + 1, **kw)
+    for _ in tiny:
+        pass
+    assert tiny._cache_bytes <= tiny._cache_cap

@@ -134,8 +134,11 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
     # methods/DKT.py:16-21): JSONL in <ckpt_dir>/log + TB if importable
     logger = MetricsLogger(os.path.join(ckpt_dir, "log"))
 
+    profile_dir = getattr(params_cli, "profile_dir", None)
     max_acc = 0.0
     for epoch in range(start_epoch, stop_epoch):
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(profile_dir)
         if isinstance(model, DKT):
             state = model.reset_opt_state(state)  # reference DKT.py:114-115
         avg_loss, i = 0.0, 0
@@ -148,6 +151,9 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
             if i % 10 == 0:
                 print(f"Epoch {epoch} | Batch {i}/{len(base_loader)} | "
                       f"Loss {avg_loss / i:.6f}")
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {profile_dir}")
         acc = _val_acc(model, state.params, val_loader)
         print(f"Epoch {epoch} | Val acc {acc:.2f}%")
         logger.log_scalars(epoch, loss=avg_loss / max(i, 1),
