@@ -121,6 +121,8 @@ class EpisodicDataLoader:
         arr = self._cache.get(path)
         if arr is None:
             arr = self.transform.load(path)
+            if arr.nbytes > self._cache_cap:
+                return arr  # can never fit: do NOT flush the cache for it
             # evict least-recently-used until it fits
             while (self._cache_bytes + arr.nbytes > self._cache_cap
                    and self._cache):

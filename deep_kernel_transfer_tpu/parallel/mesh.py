@@ -34,8 +34,13 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
 def make_mesh_2d(dp: int, tp: int) -> Mesh:
     """(dp, tp) mesh: episodes sharded over dp, large params optionally
     sharded over tp (tensor_sharding_rules)."""
-    devices = np.array(jax.devices()[: dp * tp]).reshape(dp, tp)
-    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    devices = jax.devices()
+    if len(devices) < dp * tp:
+        raise ValueError(
+            f"make_mesh_2d(dp={dp}, tp={tp}) needs {dp * tp} devices, "
+            f"only {len(devices)} available")
+    return Mesh(np.array(devices[: dp * tp]).reshape(dp, tp),
+                (DATA_AXIS, MODEL_AXIS))
 
 
 def episode_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:

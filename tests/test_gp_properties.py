@@ -8,7 +8,10 @@ duplicated points, near-zero lengthscales, and rank-deficient features.
 import numpy as np
 import jax
 import jax.numpy as jnp
-from hypothesis import given, settings, strategies as st
+import pytest
+
+pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
 
 from deep_kernel_transfer_tpu.gp import ExactGP, GaussianLikelihood, make_kernel
 from deep_kernel_transfer_tpu.gp.exact import psd_safe_cholesky

@@ -60,15 +60,25 @@ def train_baseline(params_cli, base_file, image_size, stop_epoch, ckpt_dir):
             start_epoch = epoch + 1
             print(f"resumed from {resume_file} (epoch {epoch})")
 
+    import contextlib
+
+    from deep_kernel_transfer_tpu.utils.profiling import trace
+
+    profile_dir = getattr(params_cli, "profile_dir", None)
     for epoch in range(start_epoch, stop_epoch):
+        profile_ctx = (trace(profile_dir)
+                       if profile_dir and epoch == start_epoch
+                       else contextlib.nullcontext())
         avg_loss, i = 0.0, 0
-        for x, y in loader:
-            state, m = model.train_step(state, jnp.asarray(x), jnp.asarray(y))
-            avg_loss += float(m["loss"])
-            i += 1
-            if i % 10 == 0:
-                print(f"Epoch {epoch} | Batch {i}/{len(loader)} | "
-                      f"Loss {avg_loss / i:.6f}")
+        with profile_ctx:
+            for x, y in loader:
+                state, m = model.train_step(state, jnp.asarray(x),
+                                             jnp.asarray(y))
+                avg_loss += float(m["loss"])
+                i += 1
+                if i % 10 == 0:
+                    print(f"Epoch {epoch} | Batch {i}/{len(loader)} | "
+                          f"Loss {avg_loss / i:.6f}")
         # baseline has no validation protocol (reference baselinetrain.py:51
         # returns -1); save every save_freq and at the end
         if (epoch % params_cli.save_freq == 0) or (epoch == stop_epoch - 1):
@@ -134,25 +144,30 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
     # methods/DKT.py:16-21): JSONL in <ckpt_dir>/log + TB if importable
     logger = MetricsLogger(os.path.join(ckpt_dir, "log"))
 
+    import contextlib
+
+    from deep_kernel_transfer_tpu.utils.profiling import trace
+
     profile_dir = getattr(params_cli, "profile_dir", None)
     max_acc = 0.0
     for epoch in range(start_epoch, stop_epoch):
-        if profile_dir and epoch == start_epoch:
-            jax.profiler.start_trace(profile_dir)
+        profile_ctx = (trace(profile_dir)
+                       if profile_dir and epoch == start_epoch
+                       else contextlib.nullcontext())
         if isinstance(model, DKT):
             state = model.reset_opt_state(state)  # reference DKT.py:114-115
         avg_loss, i = 0.0, 0
         extra = {}
-        for xb in base_loader:
-            state, m = model.train_step(state, jnp.asarray(xb))
-            avg_loss += float(m["loss"])
-            i += 1
-            extra = {k: float(v) for k, v in m.items() if k != "loss"}
-            if i % 10 == 0:
-                print(f"Epoch {epoch} | Batch {i}/{len(base_loader)} | "
-                      f"Loss {avg_loss / i:.6f}")
+        with profile_ctx:
+            for xb in base_loader:
+                state, m = model.train_step(state, jnp.asarray(xb))
+                avg_loss += float(m["loss"])
+                i += 1
+                extra = {k: float(v) for k, v in m.items() if k != "loss"}
+                if i % 10 == 0:
+                    print(f"Epoch {epoch} | Batch {i}/{len(base_loader)} | "
+                          f"Loss {avg_loss / i:.6f}")
         if profile_dir and epoch == start_epoch:
-            jax.profiler.stop_trace()
             print(f"profile trace written to {profile_dir}")
         acc = _val_acc(model, state.params, val_loader)
         print(f"Epoch {epoch} | Val acc {acc:.2f}%")

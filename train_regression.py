@@ -36,14 +36,10 @@ def build_regression_method(params_cli):
 def main(argv=None):
     params_cli = parse_args_regression("train_regression", argv)
     np.random.seed(params_cli.seed)
-    rng = np.random.RandomState(params_cli.seed)
 
     model = build_regression_method(params_cli)
     example_x = jnp.zeros((19, 100, 100, 3), jnp.float32)
-    if params_cli.method == "transfer":
-        state = model.init(jax.random.PRNGKey(params_cli.seed), example_x)
-    else:
-        state = model.init(jax.random.PRNGKey(params_cli.seed), example_x)
+    state = model.init(jax.random.PRNGKey(params_cli.seed), example_x)
 
     ckpt_dir = factory.regression_checkpoint_dir(params_cli)
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -60,7 +56,11 @@ def main(argv=None):
             start_epoch = epoch + 1
             print(f"resumed from {ckpt} (epoch {epoch})")
 
+    ckpt = os.path.join(ckpt_dir, "best_model.tar")
     for epoch in range(start_epoch, params_cli.stop_epoch):
+        # per-epoch RNG: a resumed run draws the SAME data an uninterrupted
+        # run would have drawn at this epoch (no replay of consumed batches)
+        rng = np.random.RandomState(params_cli.seed * 100003 + epoch)
         xb, yb = get_batch(train_people, rng)
         xb, yb = jnp.asarray(xb), jnp.asarray(yb)
         if params_cli.task_batch == 1 and hasattr(model, "unbatched_train_step"):
@@ -68,10 +68,12 @@ def main(argv=None):
         else:
             state, m = model.train_step(state, xb, yb)
         print(f"[{epoch:03d}] loss: {float(m['loss']):.4f}")
-
-    save_checkpoint(os.path.join(ckpt_dir, "best_model.tar"), state.params,
-                    params_cli.stop_epoch - 1)
-    print(f"saved {ckpt_dir}/best_model.tar")
+        if epoch % 50 == 49 or epoch == params_cli.stop_epoch - 1:
+            save_checkpoint(ckpt, state.params, epoch)
+    if start_epoch < params_cli.stop_epoch:
+        print(f"saved {ckpt}")
+    else:
+        print("nothing to train (start_epoch >= stop_epoch); checkpoint untouched")
 
 
 if __name__ == "__main__":
