@@ -114,3 +114,15 @@ def test_relationnet_feature_path_keeps_spatial_maps(dataset_cwd):
     test_cli.main(COMMON + ["--method=relationnet", "--n_iter=2",
                             "--repeat=1"])
     assert "omniglot-Conv4S-relationnet" in open("record/results.txt").read()
+
+
+def test_matchingnet_feature_path(dataset_cwd):
+    """MatchingNet through save_features + feature evaluation."""
+    import save_features as sf_cli
+
+    train_cli.main(COMMON + ["--method=matchingnet", "--stop_epoch=1",
+                             "--n_train_episodes=2"])
+    sf_cli.main(COMMON + ["--method=matchingnet", "--split=novel"])
+    test_cli.main(COMMON + ["--method=matchingnet", "--n_iter=2",
+                            "--repeat=1"])
+    assert "omniglot-Conv4S-matchingnet" in open("record/results.txt").read()
