@@ -141,13 +141,27 @@ class DKT:
             z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
         return z, stats
 
+    def _gp_params_for(self, params, n_way: int):
+        """GP params for an episode with n_way ways: the reference's
+        change_way support (reference meta_template.py:18, DKT.py:119) —
+        a model trained train_n_way-way evaluates test_n_way-way episodes
+        (test_n_way <= train_n_way) using the first n_way per-way GPs."""
+        gp = params["gp"]
+        if n_way == self.n_way:
+            return gp
+        assert n_way < self.n_way, (
+            f"episode has {n_way} ways but the model holds {self.n_way} "
+            "per-way GP parameter sets")
+        return jax.tree.map(lambda a: a[:n_way], gp)
+
     def episode_loss_train(self, params, x: Array):
         """-sum_way MLL on one episode, GP conditioned on support+query,
         train-mode BN (reference methods/DKT.py:126-164)."""
         n_way, n_total = x.shape[0], x.shape[1]
         z, stats = self._features(params, flatten_episode(x), train=True)
         targets = one_vs_rest_targets(n_way, n_total)  # [n_way, n_way*k]
-        return -sum_mll(self.gp, params["gp"], z, targets), stats
+        gp_params = self._gp_params_for(params, n_way)
+        return -sum_mll(self.gp, gp_params, z, targets), stats
 
     def episode_loss(self, params, x: Array) -> Array:
         return self.episode_loss_train(params, x)[0]
@@ -233,12 +247,13 @@ class DKT:
         z = z_all.reshape(n_way, n_total, d)
         z_support = z[:, :n_support].reshape(n_way * n_support, d)
         z_query = z[:, n_support:].reshape(-1, d)
+        gp_params = self._gp_params_for(params, n_way)
         if condition_on_all:
             targets = one_vs_rest_targets(n_way, n_total)
-            post = batched_posterior(self.gp, params["gp"], z_all, targets, z_query)
+            post = batched_posterior(self.gp, gp_params, z_all, targets, z_query)
         else:
             targets = one_vs_rest_targets(n_way, n_support)
-            post = batched_posterior(self.gp, params["gp"], z_support, targets, z_query)
+            post = batched_posterior(self.gp, gp_params, z_support, targets, z_query)
         return post.mean.T  # [n_query_total, n_way]
 
     def episode_scores(self, params, x: Array) -> Array:

@@ -81,7 +81,10 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
     factory.check_model_constraints(params_cli)
 
     from_images = params_cli.method in ("DKT", "maml", "maml_approx")
-    model = factory.build_method(params_cli, n_way, n_support)
+    # the checkpoint's way-sized parameters (DKT's per-way GPs, MAML's
+    # classifier head) follow TRAIN n_way; smaller test_n_way episodes are
+    # handled by change_way slicing (reference meta_template.py:18)
+    model = factory.build_method(params_cli, params_cli.train_n_way, n_support)
     if params_cli.method in ("maml", "maml_approx") and params_cli.adaptation:
         model.task_update_num = 100  # reference test.py:158-159
 
@@ -95,7 +98,7 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
         novel_file = factory.resolve_data_files(params_cli,
                                                 split_for_test=params_cli.split)
         n_query = 15  # reference test.py:142
-        example = jnp.zeros((n_way, n_support + n_query,
+        example = jnp.zeros((params_cli.train_n_way, n_support + n_query,
                              image_size, image_size, 3), jnp.float32)
         state = model.init(jax.random.PRNGKey(seed), example)
         params = state.params

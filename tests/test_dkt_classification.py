@@ -130,3 +130,24 @@ def test_all_kernel_types_train_and_score(kernel_type):
     scores = model.episode_scores(state.params, x[0])
     assert scores.shape == (9, 3)
     assert np.isfinite(np.asarray(scores)).all(), kernel_type
+
+
+def test_change_way_fewer_test_ways():
+    """A train_n_way-way model evaluates test_n_way-way episodes
+    (reference change_way, meta_template.py:18 / DKT.py:119)."""
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.models.backbones import ConvNetS
+
+    model = DKT(ConvNetS(depth=2), n_way=5, n_support=2,
+                kernel_type="bncossim", feature_dtype="float32")
+    rng = np.random.RandomState(0)
+    x5 = jnp.asarray(rng.rand(5, 4, 16, 16, 3).astype(np.float32))
+    state = model.init(jax.random.PRNGKey(0), x5)
+    # 3-way episode through the 5-way model: loss, scores, correct all work
+    x3 = jnp.asarray(rng.rand(1, 3, 4, 16, 16, 3).astype(np.float32))
+    state, m = model.train_step(state, x3)
+    assert np.isfinite(float(m["loss"]))
+    scores = model.episode_scores(state.params, x3[0])
+    assert scores.shape == (3 * 2, 3)
+    accs = model.batch_correct(state.params, x3)
+    assert np.isfinite(np.asarray(accs)).all()
