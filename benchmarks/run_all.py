@@ -1,0 +1,173 @@
+"""Full performance audit — one command, one JSON report.
+
+Runs every benchmark of record on the current device and writes
+benchmarks/report.json:
+  * dkt_train_episodes_per_sec  (the headline, same protocol as bench.py)
+  * dkt_eval_episodes_per_sec   (600-episode test protocol, device only)
+  * gp_engine_ms_per_task       (batched Gram+Cholesky+MLL gradient)
+  * host_pipeline_images_per_sec (native C++ decode+transform vs PIL)
+  * pallas kernel timings vs XLA (fused MLL fwd/grad, blocked Cholesky)
+
+All timings force a device->host readback (tunnel platforms can ack
+enqueue before completion). Usage:  python benchmarks/run_all.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(tree) -> float:
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    return float(jnp.sum(leaves[0])) if leaves else 0.0
+
+
+def _time(fn, args, iters=20, warmup=1):
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_train():
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.models.backbones import Conv4
+
+    model = DKT(Conv4(), n_way=5, n_support=5, kernel_type="bncossim")
+    x1 = jnp.zeros((5, 20, 84, 84, 3), jnp.float32)
+    state = model.init(jax.random.PRNGKey(0), x1)
+    xb = jax.random.uniform(jax.random.PRNGKey(1), (16,) + x1.shape)
+
+    holder = {"state": state}
+
+    def step(xb):
+        holder["state"], m = model.train_step(holder["state"], xb)
+        return m
+
+    dt = _time(step, (xb,), iters=20)
+    return {"dkt_train_episodes_per_sec": round(16 / dt, 1)}
+
+
+def bench_eval():
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.models.backbones import Conv4
+
+    model = DKT(Conv4(), n_way=5, n_support=5, kernel_type="bncossim")
+    x1 = jnp.zeros((5, 20, 84, 84, 3), jnp.float32)
+    state = model.init(jax.random.PRNGKey(0), x1)
+    xb = jax.random.uniform(jax.random.PRNGKey(2), (16,) + x1.shape)
+    dt = _time(lambda xb: model.batch_correct(state.params, xb), (xb,))
+    return {"dkt_eval_episodes_per_sec": round(16 / dt, 1)}
+
+
+def bench_gp_engine():
+    from deep_kernel_transfer_tpu.gp import ExactGP, GaussianLikelihood, make_kernel
+    from deep_kernel_transfer_tpu.gp.exact import init_batched, sum_mll
+
+    gp = ExactGP(make_kernel("bncossim"),
+                 GaussianLikelihood(trainable=False, fixed_noise=0.1))
+    params = init_batched(gp, jax.random.PRNGKey(0), 5)
+    z = jax.random.uniform(jax.random.PRNGKey(2), (8, 100, 1600))
+    t = jnp.where(jax.random.bernoulli(jax.random.PRNGKey(3), 0.2, (8, 5, 100)),
+                  1.0, -1.0)
+
+    def loss(params, z, t):
+        return jnp.mean(jax.vmap(lambda zz, tt: -sum_mll(gp, params, zz, tt))(z, t))
+
+    g = jax.jit(jax.grad(loss))
+    dt = _time(g, (params, z, t))
+    return {"gp_engine_ms_per_task": round(dt / (8 * 5) * 1e3, 3)}
+
+
+def bench_host_pipeline(tmp="/tmp/_bench_img"):
+    from PIL import Image
+
+    from deep_kernel_transfer_tpu import native
+    from deep_kernel_transfer_tpu.data.transforms import (
+        TransformPipeline,
+        load_image,
+    )
+
+    os.makedirs(tmp, exist_ok=True)
+    path = os.path.join(tmp, "img.jpg")
+    Image.fromarray((np.random.RandomState(0).rand(224, 224, 3) * 255)
+                    .astype(np.uint8)).save(path, quality=90)
+    out = {"native_available": native.available()}
+    tp = TransformPipeline(84, aug=False, use_native=False)
+    t0 = time.perf_counter()
+    for _ in range(100):
+        tp(load_image(path))
+    out["host_pil_images_per_sec"] = round(100 / (time.perf_counter() - t0), 1)
+    if native.available():
+        t0 = time.perf_counter()
+        for _ in range(100):
+            native.load_eval(path, 84)
+        out["host_native_images_per_sec"] = round(
+            100 / (time.perf_counter() - t0), 1)
+    return out
+
+
+def bench_kernels():
+    out = {}
+    try:
+        from deep_kernel_transfer_tpu.ops.pallas import fused_mll as fm
+
+        B, N, D, W = 16, 100, 1600, 5
+        z = jax.random.normal(jax.random.PRNGKey(0), (B, N, D))
+        z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        labels = np.arange(N) % W
+        diffs = jnp.asarray(np.where(labels[None] == np.arange(W)[:, None],
+                                     1.0, -1.0).astype(np.float32))
+        scales = jnp.full((W,), 0.7)
+        fwd = jax.jit(lambda z, d, s: fm.fused_linear_mll(z, d, s, N, 0.1))
+        out["fused_mll_fwd_ms"] = round(_time(fwd, (z, diffs, scales)) * 1e3, 2)
+
+        from deep_kernel_transfer_tpu.ops.pallas.blocked_cholesky import (
+            blocked_cholesky,
+        )
+
+        for n in (256, 512):
+            zz = jax.random.normal(jax.random.PRNGKey(1), (8, n, n // 2)) * 0.3
+            K = jnp.einsum("bnd,bmd->bnm", zz, zz) + 0.5 * jnp.eye(n)
+            K = jax.block_until_ready(K)
+            out[f"blocked_chol_{n}_ms"] = round(
+                _time(jax.jit(blocked_cholesky), (K,), iters=10) * 1e3, 2)
+            out[f"xla_chol_{n}_ms"] = round(
+                _time(jax.jit(jnp.linalg.cholesky), (K,), iters=10) * 1e3, 2)
+    except Exception as e:  # pallas needs a real TPU
+        out["kernels_skipped"] = str(e)[:200]
+    return out
+
+
+def main():
+    report = {"backend": jax.default_backend(),
+              "device_count": jax.device_count(),
+              "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
+    for name, fn in (("train", bench_train), ("eval", bench_eval),
+                     ("gp", bench_gp_engine), ("host", bench_host_pipeline),
+                     ("kernels", bench_kernels)):
+        t0 = time.time()
+        report.update(fn())
+        print(f"[{name}] done in {time.time()-t0:.1f}s")
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "report.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

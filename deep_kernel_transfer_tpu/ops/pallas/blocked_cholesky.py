@@ -24,13 +24,15 @@ factorisation scratch); N=1024 needs the HBM-resident tiled variant
 Differentiation uses the standard Cholesky reverse-mode formula
 (Murray 2016) evaluated with XLA triangular solves over the kernel's L.
 
-Measured on one v5e chip (B=40): forward 9.1 ms vs XLA 4.5 ms at N=256,
-18.9 vs 7.3 ms at N=512 — XLA's batched Cholesky is already well-tuned at
-these sizes, and this kernel is bound by the ~256 sequential fori_loop
-steps per tile that the masked-sweep formulation forces. It is therefore
-NOT wired into the default path; it stands as correct, tested
-infrastructure for the HBM-resident tiled regime (N >> 512), where
-fusing Gram assembly with factorisation changes the economics.
+Measured on one v5e chip: batch-dependent. At B=40, XLA wins (9.1 vs
+4.5 ms at N=256; 18.9 vs 7.3 at N=512) — its batched factorisation
+amortises well, while this kernel is bound by the ~256 sequential
+fori_loop steps per tile that the masked-sweep formulation forces. At
+B=8, the kernel wins at N=256 (3.9 vs 8.0 ms) and loses at N=512 (9.9 vs
+3.8). It is NOT wired into the default path (reference episode batches
+favour XLA); it stands as correct, tested infrastructure for the
+HBM-resident tiled regime (N >> 512), where fusing Gram assembly with the
+factorisation changes the memory economics.
 """
 from __future__ import annotations
 
