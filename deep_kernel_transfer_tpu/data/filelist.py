@@ -47,10 +47,11 @@ class SimpleDataLoader:
     SimpleDataManager (data/dataset.py:10-26, data/datamgr.py:54-66)."""
 
     def __init__(self, data_file: str, image_size: int, batch_size: int,
-                 aug: bool, seed: int = 0):
+                 aug: bool, seed: int = 0, output_uint8: bool = False):
         self.meta = FileListMeta(data_file)
         self.batch_size = batch_size
-        self.transform = TransformPipeline(image_size, aug, seed=seed)
+        self.transform = TransformPipeline(image_size, aug, seed=seed,
+                                           output_uint8=output_uint8)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -97,6 +98,7 @@ class EpisodicDataLoader:
         seed: int = 0,
         prefetch: bool = True,
         cache_bytes: int = 1 << 30,
+        output_uint8: bool = False,
     ):
         self.sub_meta = FileListMeta(data_file).by_class()
         self.classes = sorted(self.sub_meta.keys())
@@ -104,7 +106,8 @@ class EpisodicDataLoader:
         self.k = n_support + n_query
         self.n_episodes = n_episodes
         self.episode_batch = episode_batch
-        self.transform = TransformPipeline(image_size, aug, seed=seed)
+        self.transform = TransformPipeline(image_size, aug, seed=seed,
+                                           output_uint8=output_uint8)
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
         self._cache: "dict[str, np.ndarray]" = {}

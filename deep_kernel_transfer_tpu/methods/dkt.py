@@ -129,6 +129,13 @@ class DKT:
         model.eval() test protocol) uses running averages and returns
         (z, None). BN statistics stay f32 even in the bf16 trunk."""
         fvars = params["feature"]
+        if jnp.issubdtype(x_flat.dtype, jnp.integer):
+            # uint8 host pipeline: normalise on device BEFORE the bf16 cast
+            # (the cast would otherwise erase the integer marker the trunk's
+            # preprocess_input keys on)
+            from ..models.backbones import preprocess_input
+
+            x_flat = preprocess_input(x_flat)
         if self.feature_dtype != jnp.float32:
             # cast weights only — BN running statistics stay f32
             fvars = {**fvars, "params": jax.tree.map(

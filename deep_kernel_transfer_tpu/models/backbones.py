@@ -34,6 +34,24 @@ Array = jax.Array
 
 ModuleDef = Any
 
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def preprocess_input(x: Array, imagenet: bool = True) -> Array:
+    """Device-side input normalisation for uint8 image batches.
+
+    TPU-first data path: the host ships raw uint8 (4x less host->device
+    traffic than normalised f32); the trunk normalises on device. float
+    inputs pass through untouched (assumed already normalised), keeping
+    every existing caller unchanged."""
+    if not jnp.issubdtype(x.dtype, jnp.integer):
+        return x
+    x = x.astype(jnp.float32) / 255.0
+    if imagenet:
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    return x
+
 
 def _conv_fanin_init(key, shape, dtype=jnp.float32):
     """Normal(0, sqrt(2/n)) with n = kh*kw*out_channels.
@@ -124,6 +142,7 @@ class ConvNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
+        x = preprocess_input(x)
         for i in range(self.depth):
             x = ConvBlock(64, pool=(i < 4))(x, train)
         if self.flatten:
@@ -139,6 +158,7 @@ class ConvNetNopool(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
+        x = preprocess_input(x)
         for i in range(self.depth):
             x = ConvBlock(64, pool=(i in (0, 1)),
                           padding=0 if i in (0, 1) else 1)(x, train)
@@ -154,6 +174,7 @@ class ConvNetS(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
+        x = preprocess_input(x)
         x = x[..., :1]  # use only the first channel (reference backbone.py:307)
         for i in range(self.depth):
             x = ConvBlock(64, pool=(i < 4))(x, train)
@@ -169,6 +190,7 @@ class ConvNetSNopool(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
+        x = preprocess_input(x)
         x = x[..., :1]
         for i in range(self.depth):
             x = ConvBlock(64, pool=(i in (0, 1)),
@@ -252,6 +274,7 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
+        x = preprocess_input(x)
         x = nn.Conv(
             64, (7, 7), strides=2, padding=3, use_bias=False,
             kernel_init=_conv_fanin_init,
@@ -275,6 +298,9 @@ class Conv3(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         del train  # no BN in this trunk
+        # QMUL uses bare ToTensor (no ImageNet stats, reference
+        # data/qmul_loader.py): uint8 -> [0, 1] only
+        x = preprocess_input(x, imagenet=False)
         for i in range(3):
             x = nn.Conv(
                 36, (3, 3), strides=2, padding="VALID",

@@ -73,7 +73,8 @@ def main(argv=None):
 
     # eval-mode BN: running statistics -> deterministic per-image features
     embed = jax.jit(lambda x: backbone.apply(bvars, x, train=False))
-    loader = SimpleDataLoader(split_file, image_size, batch_size=64, aug=False)
+    loader = SimpleDataLoader(split_file, image_size, batch_size=64,
+                              aug=False, output_uint8=True)
     feats, labels = [], []
     for i, (x, y) in enumerate(loader):
         feats.append(np.asarray(embed(jnp.asarray(x))))

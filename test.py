@@ -114,7 +114,7 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
         loader = EpisodicDataLoader(
             novel_file, image_size, n_way, n_support, n_query,
             n_episodes=params_cli.n_iter, episode_batch=episode_batch,
-            aug=False, seed=seed)
+            aug=False, seed=seed, output_uint8=True)
         accs = []
         for xb in loader:
             if special:

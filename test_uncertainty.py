@@ -37,7 +37,8 @@ def get_logits_targets(params_cli, model, params, seed: int):
                                             split_for_test=params_cli.split)
     loader = EpisodicDataLoader(
         novel_file, image_size, n_way, n_support, n_query,
-        n_episodes=params_cli.n_iter, episode_batch=1, aug=False, seed=seed)
+        n_episodes=params_cli.n_iter, episode_batch=1, aug=False, seed=seed,
+        output_uint8=True)
     logits, targets = [], []
     y = np.asarray(episode_labels(n_way, n_query))
     for xb in loader:

@@ -138,3 +138,47 @@ def test_eval_loader_cache_reuses_and_matches(tmp_path):
     for _ in tiny:
         pass
     assert tiny._cache_bytes <= tiny._cache_cap
+
+
+def test_uint8_pipeline_matches_f32(tmp_path):
+    """uint8 host pipeline + device-side normalisation == the f32 pipeline
+    within one quantisation step (TPU-first: 4x less host->device bytes)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from deep_kernel_transfer_tpu.data import EpisodicDataLoader
+    from deep_kernel_transfer_tpu.models.backbones import (
+        ConvNetS,
+        preprocess_input,
+    )
+
+    rng = np.random.RandomState(0)
+    names, labels = [], []
+    for cl in range(3):
+        for i in range(5):
+            p = tmp_path / f"c{cl}_{i}.jpg"
+            Image.fromarray((rng.rand(28, 28, 3) * 255).astype(np.uint8)).save(p)
+            names.append(str(p)); labels.append(cl)
+    f = tmp_path / "novel.json"
+    json.dump({"label_names": list("abc"), "image_names": names,
+               "image_labels": labels}, open(f, "w"))
+
+    kw = dict(image_size=28, n_way=3, n_support=2, n_query=2, n_episodes=2,
+              episode_batch=1, aug=False, seed=3, prefetch=False)
+    xb_f32 = next(iter(EpisodicDataLoader(str(f), **kw)))
+    xb_u8 = next(iter(EpisodicDataLoader(str(f), output_uint8=True, **kw)))
+    assert xb_u8.dtype == np.uint8
+    # device-side normalisation of the uint8 batch == the f32 batch
+    normed = np.asarray(preprocess_input(jnp.asarray(xb_u8)))
+    assert np.abs(normed - xb_f32).max() < (1.0 / 255.0 / 0.22) + 1e-5
+
+    # trunk features agree within quantisation
+    bb = ConvNetS(depth=2)
+    v = bb.init(jax.random.PRNGKey(0), jnp.asarray(xb_f32[0, 0]))
+    z32 = bb.apply(v, jnp.asarray(xb_f32[0].reshape(-1, 28, 28, 3)), train=False)
+    zu8 = bb.apply(v, jnp.asarray(xb_u8[0].reshape(-1, 28, 28, 3)), train=False)
+    assert float(jnp.abs(z32 - zu8).max()) < 0.15

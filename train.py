@@ -46,7 +46,8 @@ def train_baseline(params_cli, base_file, image_size, stop_epoch, ckpt_dir):
     """Stage-1 softmax/cosine pretraining (reference train.py:37-67 with
     BaselineTrain.train_loop, methods/baselinetrain.py:31-43)."""
     loader = SimpleDataLoader(base_file, image_size, batch_size=16,
-                              aug=params_cli.train_aug, seed=params_cli.seed)
+                              aug=params_cli.train_aug, seed=params_cli.seed,
+                              output_uint8=True)
     model = factory.build_method(params_cli, params_cli.train_n_way, params_cli.n_shot)
     x0, _ = next(iter(loader))
     state = model.init(jax.random.PRNGKey(params_cli.seed), jnp.asarray(x0))
@@ -107,14 +108,16 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         stop_epoch = stop_epoch * model.n_task
 
     n_episodes = getattr(params_cli, "n_train_episodes", 100)
+    # uint8 pipeline: the trunk normalises on device (4x less
+    # host->device traffic than normalised f32)
     base_loader = EpisodicDataLoader(
         base_file, image_size, n_way, n_support, n_query,
         n_episodes=n_episodes, episode_batch=episode_batch,
-        aug=params_cli.train_aug, seed=params_cli.seed)
+        aug=params_cli.train_aug, seed=params_cli.seed, output_uint8=True)
     val_loader = EpisodicDataLoader(
         val_file, image_size, params_cli.test_n_way, n_support, n_query,
         n_episodes=n_episodes, episode_batch=episode_batch, aug=False,
-        seed=params_cli.seed + 1)
+        seed=params_cli.seed + 1, output_uint8=True)
 
     example = jnp.zeros((n_way, n_support + n_query, image_size, image_size, 3),
                         jnp.float32)
