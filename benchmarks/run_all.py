@@ -70,7 +70,14 @@ def bench_eval():
     state = model.init(jax.random.PRNGKey(0), x1)
     xb = jax.random.uniform(jax.random.PRNGKey(2), (16,) + x1.shape)
     dt = _time(lambda xb: model.batch_correct(state.params, xb), (xb,))
-    return {"dkt_eval_episodes_per_sec": round(16 / dt, 1)}
+    out = {"dkt_eval_episodes_per_sec": round(16 / dt, 1)}
+    # end-to-end incl. host->device transfer, uint8 wire format
+    xb_u8 = (np.random.RandomState(0)
+             .rand(16, 5, 20, 84, 84, 3) * 255).astype(np.uint8)
+    dt = _time(lambda x: model.batch_correct(state.params, jnp.asarray(x)),
+               (xb_u8,), iters=6)
+    out["dkt_eval_eps_per_sec_incl_transfer_uint8"] = round(16 / dt, 1)
+    return out
 
 
 def bench_gp_engine():
