@@ -25,10 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import jax
 import jax.numpy as jnp
 
-
-def _sync(tree) -> float:
-    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
-    return float(jnp.sum(leaves[0])) if leaves else 0.0
+from deep_kernel_transfer_tpu.utils.profiling import sync as _sync
 
 
 def _time(fn, args, iters=20, warmup=1):

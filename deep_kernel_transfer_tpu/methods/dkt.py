@@ -201,7 +201,7 @@ class DKT:
         z, stats = jax.vmap(
             lambda x: self._features(params, flatten_episode(x), train=True))(xb)
         targets = one_vs_rest_targets(n_way, n_total)  # [W, N]
-        gp = params["gp"]
+        gp = self._gp_params_for(params, n_way)  # change_way slicing
         diffs = targets - gp["mean"]["constant"][:, None]
         scales = softplus(gp["kernel"]["raw_outputscale"])
         base = gp["kernel"].get("base", {})
@@ -337,6 +337,7 @@ class DKT:
         )
         targets = one_vs_rest_targets(n_way, n_support)
         tx = optax.adam(lr)
+        gp0 = self._gp_params_for(params, n_way)  # change_way slicing
 
         def loss_fn(gp_params):
             return -sum_mll(self.gp, gp_params, z_support, targets)
@@ -348,6 +349,6 @@ class DKT:
             return (optax.apply_updates(gp_params, updates), opt_state), None
 
         (gp_params, _), _ = jax.lax.scan(
-            step, (params["gp"], tx.init(params["gp"])), None, length=steps
+            step, (gp0, tx.init(gp0)), None, length=steps
         )
         return {**params, "gp": gp_params}

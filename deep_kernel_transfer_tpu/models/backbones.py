@@ -34,8 +34,12 @@ Array = jax.Array
 
 ModuleDef = Any
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+# single source of truth lives in data/transforms.py (the host f32 path);
+# the native C++ path pins the same values (src/image_pipeline.cc kMean/kStd)
+from ..data.transforms import IMAGENET_MEAN as _MEAN_NP, IMAGENET_STD as _STD_NP
+
+IMAGENET_MEAN = jnp.asarray(_MEAN_NP)
+IMAGENET_STD = jnp.asarray(_STD_NP)
 
 
 def preprocess_input(x: Array, imagenet: bool = True) -> Array:

@@ -81,9 +81,13 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
     factory.check_model_constraints(params_cli)
 
     from_images = params_cli.method in ("DKT", "maml", "maml_approx")
-    # the checkpoint's way-sized parameters (DKT's per-way GPs, MAML's
-    # classifier head) follow TRAIN n_way; smaller test_n_way episodes are
-    # handled by change_way slicing (reference meta_template.py:18)
+    # the checkpoint's way-sized parameters follow TRAIN n_way; DKT handles
+    # smaller test_n_way episodes by change_way GP slicing; MAML does not
+    # support mixed ways (reference maml.py:13 sets change_way=False)
+    if params_cli.method in ("maml", "maml_approx"):
+        assert params_cli.test_n_way == params_cli.train_n_way, (
+            "maml does not support test_n_way != train_n_way "
+            "(reference change_way=False)")
     model = factory.build_method(params_cli, params_cli.train_n_way, n_support)
     if params_cli.method in ("maml", "maml_approx") and params_cli.adaptation:
         model.task_update_num = 100  # reference test.py:158-159

@@ -53,13 +53,15 @@ def get_logits_targets(params_cli, model, params, seed: int):
 
 def main(argv=None):
     params_cli = parse_args("test", argv)
-    n_way, n_support = params_cli.test_n_way, params_cli.n_shot
+    n_support = params_cli.n_shot
     factory.check_model_constraints(params_cli)
-    model = factory.build_method(params_cli, n_way, n_support)
+    # build at TRAIN n_way (the checkpoint's way-sized parameter shapes);
+    # test_n_way episodes are handled by DKT's change_way slicing
+    model = factory.build_method(params_cli, params_cli.train_n_way, n_support)
 
     image_size = factory.resolve_image_size(params_cli)
-    example = jnp.zeros((n_way, n_support + 15, image_size, image_size, 3),
-                        jnp.float32)
+    example = jnp.zeros((params_cli.train_n_way, n_support + 15,
+                         image_size, image_size, 3), jnp.float32)
     state = model.init(jax.random.PRNGKey(params_cli.seed), example)
     params = state.params
     ckpt_dir = factory.checkpoint_dir(params_cli)

@@ -151,3 +151,21 @@ def test_change_way_fewer_test_ways():
     assert scores.shape == (3 * 2, 3)
     accs = model.batch_correct(state.params, x3)
     assert np.isfinite(np.asarray(accs)).all()
+
+
+def test_change_way_adaptation_and_laplace():
+    """GP adaptation and the Laplace head also honour change_way."""
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.models.backbones import ConvNetS
+
+    model = DKT(ConvNetS(depth=2), n_way=5, n_support=2,
+                kernel_type="bncossim", feature_dtype="float32")
+    rng = np.random.RandomState(1)
+    x5 = jnp.asarray(rng.rand(5, 4, 16, 16, 3).astype(np.float32))
+    state = model.init(jax.random.PRNGKey(0), x5)
+    x3 = jnp.asarray(rng.rand(3, 4, 16, 16, 3).astype(np.float32))
+    p = model.adapt_gp(state.params, x3, steps=2)
+    c, n = model.correct(p, x3)
+    assert n == 3 * 2 and np.isfinite(c)
+    c, n = model.correct_laplace(state.params, x3)
+    assert n == 3 * 2 and np.isfinite(c)
