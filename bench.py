@@ -23,7 +23,14 @@ EP_BATCH = 16
 _BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
 
 
-def _measure_jax() -> float:
+# v5e datasheet peak: 197 TFLOP/s bf16 per chip. MFU is reported against
+# the datasheet number (not the lower observed tunnel peak in DESIGN.md) so
+# regressions show up as a ratio of the hardware, not of our own best run.
+PEAK_FLOPS = 197e12
+
+
+def _measure_jax() -> tuple[float, float]:
+    """Returns (episodes/sec, model FLOPs per compiled step)."""
     import jax
     import jax.numpy as jnp
 
@@ -34,6 +41,18 @@ def _measure_jax() -> float:
     x1 = jnp.zeros((N_WAY, N_SUPPORT + N_QUERY, HW, HW, 3), jnp.float32)
     state = model.init(jax.random.PRNGKey(0), x1)
     xb = jax.random.uniform(jax.random.PRNGKey(1), (EP_BATCH,) + x1.shape)
+
+    def _step_flops() -> float:
+        try:
+            ca = DKT.train_step.lower(model, state, xb).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            return float(ca["flops"])
+        except Exception:
+            # analytic fallback: Conv4@84px ~190 MFLOP/image fwd, x3 fwd+bwd
+            n_img = EP_BATCH * N_WAY * (N_SUPPORT + N_QUERY)
+            return n_img * 190e6 * 3.0
+
+    flops = _step_flops()
 
     def _sync(state, m) -> float:
         # On the axon tunnel platform block_until_ready can return at
@@ -50,7 +69,7 @@ def _measure_jax() -> float:
         state, m = model.train_step(state, xb)
     _sync(state, m)
     dt = time.perf_counter() - t0
-    return n_iters * EP_BATCH / dt
+    return n_iters * EP_BATCH / dt, flops
 
 
 def _measure_torch_cpu_baseline() -> float:
@@ -123,13 +142,16 @@ def _cpu_baseline() -> float:
 
 
 def main():
-    eps = _measure_jax()
+    eps, step_flops = _measure_jax()
     base = _cpu_baseline()
+    achieved = step_flops * eps / EP_BATCH  # FLOP/s sustained
     print(json.dumps({
         "metric": "dkt_train_episodes_per_sec",
         "value": round(eps, 3),
         "unit": "episodes/s",
         "vs_baseline": round(eps / base, 2),
+        "mfu": round(achieved / PEAK_FLOPS, 4),
+        "achieved_tflops": round(achieved / 1e12, 2),
     }))
 
 
