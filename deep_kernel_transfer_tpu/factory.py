@@ -113,6 +113,15 @@ def build_method(params, n_way: int, n_support: int):
     """Method object for classification (reference train.py:115-174)."""
     model_fn = model_dict[params.model]
     method = params.method
+    if method in ("baseline", "baseline++"):
+        # the base-class label ids must fit the classifier head, else labels
+        # clip silently (reference train.py:119-123)
+        min_classes = {"omniglot": 4112, "cross_char": 1597}.get(params.dataset)
+        if min_classes is not None:
+            assert params.num_classes >= min_classes, (
+                f"--num_classes must be >= {min_classes} for "
+                f"{params.dataset} (max base-class label id; "
+                "reference train.py:119-123)")
     if method == "baseline":
         return BaselineTrain(model_fn(), params.num_classes, loss_type="softmax")
     if method == "baseline++":

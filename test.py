@@ -88,7 +88,13 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
         assert params_cli.test_n_way == params_cli.train_n_way, (
             "maml does not support test_n_way != train_n_way "
             "(reference change_way=False)")
-    model = factory.build_method(params_cli, params_cli.train_n_way, n_support)
+    if params_cli.method in ("baseline", "baseline++"):
+        # no meta model: a fresh BaselineFinetune head is trained per episode
+        # from cached features (reference test.py:83-86, baselinefinetune.py)
+        model = None
+    else:
+        model = factory.build_method(params_cli, params_cli.train_n_way,
+                                     n_support)
     if params_cli.method in ("maml", "maml_approx") and params_cli.adaptation:
         model.task_update_num = 100  # reference test.py:158-159
 

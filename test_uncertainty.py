@@ -5,9 +5,18 @@ temperature on NLL (reference test_uncertainty.py:62-74, 234-245).
 Phase 2: reseeded repeats, 15-bin ECE at the fitted temperature
 (test_uncertainty.py:76-94, 249-257). DKT's one-vs-rest logits use
 sigmoid-normalised probabilities (test_uncertainty.py:78-81).
+
+Method routing mirrors the reference (test_uncertainty.py:105-225):
+  * DKT / maml / maml_approx collect logits from raw images
+    (--adaptation => MAML task_update_num=100, reference :190-191);
+  * protonet / matchingnet / relationnet* collect from the save_features.py
+    feature cache via scores_from_features;
+  * baseline / baseline++ train a fresh BaselineFinetune head per episode
+    on cached features (no meta-checkpoint is loaded, reference :149).
 """
 from __future__ import annotations
 
+import os
 import random
 
 import numpy as np
@@ -16,7 +25,12 @@ import jax.numpy as jnp
 
 from deep_kernel_transfer_tpu import factory
 from deep_kernel_transfer_tpu.data import EpisodicDataLoader
+from deep_kernel_transfer_tpu.data.feature_cache import (
+    init_loader,
+    sample_feature_episode,
+)
 from deep_kernel_transfer_tpu.io_utils import parse_args
+from deep_kernel_transfer_tpu.methods import BaselineFinetune
 from deep_kernel_transfer_tpu.methods.base import episode_labels
 from deep_kernel_transfer_tpu.utils.checkpoint import (
     get_assigned_file,
@@ -25,10 +39,12 @@ from deep_kernel_transfer_tpu.utils.checkpoint import (
 )
 from deep_kernel_transfer_tpu.utils.metrics import calibrate_temperature, ece
 
+FROM_IMAGES = ("DKT", "maml", "maml_approx")
 
-def get_logits_targets(params_cli, model, params, seed: int):
-    """Stacked [episodes*n_way*Q, n_way] logits + labels
-    (reference test_uncertainty.py:96-225)."""
+
+def get_logits_targets_images(params_cli, model, params, seed: int):
+    """Stacked [episodes*n_way*Q, n_way] logits + labels from raw images
+    (reference test_uncertainty.py:165-200)."""
     np.random.seed(seed)
     random.seed(seed)
     n_way, n_support, n_query = params_cli.test_n_way, params_cli.n_shot, 15
@@ -51,15 +67,25 @@ def get_logits_targets(params_cli, model, params, seed: int):
     return np.concatenate(logits), np.concatenate(targets)
 
 
-def main(argv=None):
-    params_cli = parse_args("test", argv)
-    n_support = params_cli.n_shot
-    factory.check_model_constraints(params_cli)
-    # build at TRAIN n_way (the checkpoint's way-sized parameter shapes);
-    # test_n_way episodes are handled by DKT's change_way slicing
-    model = factory.build_method(params_cli, params_cli.train_n_way, n_support)
+def get_logits_targets_features(params_cli, episode_logits_fn, cl_data,
+                                seed: int):
+    """Stacked logits + labels from the HDF5 feature cache (reference
+    test_uncertainty.py:201-224: 600 sampled feature episodes through
+    set_forward(is_feature=True))."""
+    rng = np.random.RandomState(seed)
+    n_way, n_support, n_query = params_cli.test_n_way, params_cli.n_shot, 15
+    y = np.asarray(episode_labels(n_way, n_query))
+    logits, targets = [], []
+    for i in range(params_cli.n_iter):
+        z = sample_feature_episode(cl_data, rng, n_way, n_support, n_query)
+        lg = episode_logits_fn(jnp.asarray(z), seed * 10000 + i)
+        logits.append(np.asarray(lg))
+        targets.append(y)
+    return np.concatenate(logits), np.concatenate(targets)
 
-    image_size = factory.resolve_image_size(params_cli)
+
+def _load_params(params_cli, model, image_size, n_support):
+    """Init params at train n_way and graft the best/assigned checkpoint."""
     example = jnp.zeros((params_cli.train_n_way, n_support + 15,
                          image_size, image_size, 3), jnp.float32)
     state = model.init(jax.random.PRNGKey(params_cli.seed), example)
@@ -70,20 +96,68 @@ def main(argv=None):
     if ckpt_file is not None:
         params, _ = load_checkpoint(ckpt_file, params)
         print(f"loaded {ckpt_file}")
+    else:
+        print(f"[WARNING] no checkpoint found in {ckpt_dir}")
+    return params
 
+
+def make_collector(params_cli):
+    """Returns collect(seed) -> (logits, targets) for the CLI method."""
+    n_support = params_cli.n_shot
+    factory.check_model_constraints(params_cli)
+    image_size = factory.resolve_image_size(params_cli)
+
+    if params_cli.method in FROM_IMAGES:
+        # build at TRAIN n_way (the checkpoint's way-sized parameter shapes);
+        # test_n_way episodes are handled by DKT's change_way slicing
+        model = factory.build_method(params_cli, params_cli.train_n_way,
+                                     n_support)
+        if params_cli.method in ("maml", "maml_approx") and params_cli.adaptation:
+            model.task_update_num = 100  # reference test_uncertainty.py:190-191
+        params = _load_params(params_cli, model, image_size, n_support)
+        return lambda seed: get_logits_targets_images(
+            params_cli, model, params, seed)
+
+    # feature-cache methods (reference test_uncertainty.py:201-224)
+    from save_features import feature_file_path
+
+    feat_file = feature_file_path(params_cli)
+    assert os.path.isfile(feat_file), (
+        f"{feat_file} not found — run save_features.py first")
+    cl_data = init_loader(feat_file)
+
+    if params_cli.method in ("baseline", "baseline++"):
+        # fresh head finetuned per episode; no meta checkpoint (reference :149)
+        feat_dim = int(np.asarray(next(iter(cl_data.values()))[0]).reshape(-1).shape[0])
+        loss_type = "dist" if params_cli.method == "baseline++" else "softmax"
+        head = BaselineFinetune(feat_dim, params_cli.test_n_way, n_support,
+                                loss_type=loss_type)
+        fn = lambda z, s: head.episode_scores(jax.random.PRNGKey(s), z)
+        return lambda seed: get_logits_targets_features(
+            params_cli, fn, cl_data, seed)
+
+    model = factory.build_method(params_cli, params_cli.train_n_way, n_support)
+    params = _load_params(params_cli, model, image_size, n_support)
+    scores = jax.jit(lambda z: model.scores_from_features(params, z))
+    fn = lambda z, s: scores(z)
+    return lambda seed: get_logits_targets_features(
+        params_cli, fn, cl_data, seed)
+
+
+def main(argv=None):
+    params_cli = parse_args("test", argv)
+    collect = make_collector(params_cli)
     one_vs_rest = params_cli.method == "DKT"
 
     # Phase 1: temperature on a held-out collection run
-    logits, targets = get_logits_targets(params_cli, model, params,
-                                         seed=params_cli.seed)
+    logits, targets = collect(params_cli.seed)
     temperature = calibrate_temperature(logits, targets)
     print(f"fitted temperature: {temperature:.4f}")
 
     # Phase 2: reseeded repeats -> ECE
     eces = []
     for r in range(params_cli.repeat):
-        logits, targets = get_logits_targets(
-            params_cli, model, params, seed=params_cli.seed + 1 + r)
+        logits, targets = collect(params_cli.seed + 1 + r)
         e = ece(logits, targets, temperature=temperature,
                 one_vs_rest=one_vs_rest)
         acc = float(np.mean(np.argmax(logits, 1) == targets)) * 100

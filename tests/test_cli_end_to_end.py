@@ -116,6 +116,39 @@ def test_relationnet_feature_path_keeps_spatial_maps(dataset_cwd):
     assert "omniglot-Conv4S-relationnet" in open("record/results.txt").read()
 
 
+def test_uncertainty_feature_method_protonet(dataset_cwd):
+    """Feature-cache calibration path (reference test_uncertainty.py:201-224):
+    logits come from sampled feature episodes, not raw images."""
+    import test_uncertainty as tu_cli
+
+    feat = "save/features/omniglot/Conv4S_protonet_3way_2shot/novel.hdf5"
+    assert os.path.isfile(feat), "run order: protonet save_features first"
+    tu_cli.main(COMMON + ["--method=protonet", "--n_iter=2", "--repeat=1"])
+
+
+def test_baseline_pp_full_pipeline_with_uncertainty(dataset_cwd):
+    """baseline++: pretrain -> save_features -> test.py (BaselineFinetune
+    head) -> test_uncertainty (reference test_uncertainty.py:105-108 builds
+    BaselineFinetune and never loads a meta checkpoint)."""
+    import save_features as sf_cli
+    import test_uncertainty as tu_cli
+
+    train_cli.main(COMMON + ["--method=baseline++", "--stop_epoch=1",
+                             "--num_classes=4112"])
+    sf_cli.main(COMMON + ["--method=baseline++", "--split=novel"])
+    test_cli.main(COMMON + ["--method=baseline++", "--n_iter=2", "--repeat=1"])
+    assert "omniglot-Conv4S-baseline++" in open("record/results.txt").read()
+    tu_cli.main(COMMON + ["--method=baseline++", "--n_iter=2", "--repeat=1"])
+
+
+def test_baseline_num_classes_guard(dataset_cwd):
+    """A too-small softmax head on omniglot must fail loudly
+    (reference train.py:119-123), not clip labels silently."""
+    with pytest.raises(AssertionError, match="num_classes"):
+        train_cli.main(COMMON + ["--method=baseline", "--stop_epoch=1",
+                                 "--num_classes=200"])
+
+
 def test_matchingnet_feature_path(dataset_cwd):
     """MatchingNet through save_features + feature evaluation."""
     import save_features as sf_cli

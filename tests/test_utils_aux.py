@@ -62,6 +62,29 @@ def test_temperature_scaling_reduces_overconfidence():
     assert ece(logits, labels, temperature=t) < ece(logits, labels)
 
 
+def test_temperature_matches_lbfgs_oracle():
+    """calibrate_temperature (Adam on NLL) must land on the same optimum as
+    the reference's LBFGS (reference test_uncertainty.py:62-74) — checked
+    against scipy L-BFGS-B on the identical NLL objective."""
+    from scipy.optimize import minimize
+    from scipy.special import logsumexp
+
+    rng = np.random.RandomState(3)
+    labels = rng.randint(0, 5, 400)
+    logits = rng.randn(400, 5) * 0.7
+    logits[np.arange(400), labels] += 1.5
+    logits *= 5.0  # miscalibrated
+
+    def nll(t):
+        z = logits / t[0]
+        return float(np.mean(logsumexp(z, axis=1) - z[np.arange(400), labels]))
+
+    oracle = minimize(nll, x0=[1.0], method="L-BFGS-B",
+                      bounds=[(1e-3, 100.0)]).x[0]
+    ours = calibrate_temperature(logits, labels)
+    assert abs(ours - oracle) / oracle < 0.02, (ours, oracle)
+
+
 def test_dbindex_and_sparsity():
     rng = np.random.RandomState(2)
     tight = {0: list(rng.randn(20, 8) * 0.1), 1: list(rng.randn(20, 8) * 0.1 + 5)}
