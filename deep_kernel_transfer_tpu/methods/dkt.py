@@ -238,6 +238,39 @@ class DKT:
         out["noise"] = jnp.asarray(self.gp.likelihood.fixed_noise)
         return out
 
+    @partial(jax.jit, static_argnums=0)
+    def train_telemetry(self, params, xb: Array) -> dict:
+        """Per-print_freq training telemetry (reference methods/DKT.py:167-196):
+        GP support/query accuracy with the GP conditioned on support+query
+        (the meta-training protocol) under eval-mode BN, plus the first
+        episode's support features for the z_support histogram — all in ONE
+        device dispatch."""
+        n_way, n_total = xb.shape[1], xb.shape[2]
+        n_support = self.n_support
+        labels = episode_labels(n_way, n_total)  # [N] over all points
+        # flatten_episode orders points way-major: first n_support of each
+        # way's n_total block are support
+        support_mask = jnp.tile(
+            (jnp.arange(n_total) < n_support).astype(jnp.float32), n_way)
+
+        def one(x):
+            z_all, _ = self._features(params, flatten_episode(x))
+            targets = one_vs_rest_targets(n_way, n_total)
+            gp_params = self._gp_params_for(params, n_way)
+            post = batched_posterior(self.gp, gp_params, z_all, targets, z_all)
+            pred = jnp.argmax(jax.nn.sigmoid(post.mean.T), axis=-1)  # [N]
+            hit = (pred == labels).astype(jnp.float32)
+            acc_s = jnp.sum(hit * support_mask) / jnp.sum(support_mask)
+            acc_q = jnp.sum(hit * (1 - support_mask)) / jnp.sum(1 - support_mask)
+            return acc_s * 100.0, acc_q * 100.0, z_all
+
+        acc_s, acc_q, z = jax.vmap(one)(xb)
+        d = z.shape[-1]
+        z_support = z[0].reshape(n_way, n_total, d)[:, :n_support].reshape(-1, d)
+        return {"GP_support_accuracy": jnp.mean(acc_s),
+                "GP_query_accuracy": jnp.mean(acc_q),
+                "z_support": z_support}
+
     # -- prediction --------------------------------------------------------
 
     def episode_logits(self, params, x: Array, condition_on_all: bool = False) -> Array:
@@ -298,25 +331,61 @@ class DKT:
 
         return jax.vmap(one)(xb)
 
-    def correct_laplace(self, params, x: Array) -> tuple[float, int]:
-        """Laplace-approximation test head (reference methods/DKT.py:207-222:
-        sklearn GaussianProcessClassifier with 1.0*RBF(0.1) on the support
-        features) — rebuilt as a vmapped JAX Laplace GPC, so it runs
-        on-device instead of sklearn-on-CPU."""
+    def _episode_laplace_pred(self, params, x: Array) -> Array:
+        """[n_way*Q] predicted class ids from the Laplace GPC head."""
         from ..gp.laplace import laplace_ovr_predict
 
         n_way, n_total = x.shape[0], x.shape[1]
         n_support = self.n_support
-        n_query = n_total - n_support
         z_all, _ = self._features(params, flatten_episode(x))
         d = z_all.shape[-1]
         z = z_all.reshape(n_way, n_total, d)
         z_support = z[:, :n_support].reshape(n_way * n_support, d)
         z_query = z[:, n_support:].reshape(-1, d)
         y_support = episode_labels(n_way, n_support)
-        pred = laplace_ovr_predict(z_support, y_support, z_query, n_way)
+        return laplace_ovr_predict(z_support, y_support, z_query, n_way)
+
+    def correct_laplace(self, params, x: Array) -> tuple[float, int]:
+        """Laplace-approximation test head (reference methods/DKT.py:207-222:
+        sklearn GaussianProcessClassifier with 1.0*RBF(0.1) on the support
+        features) — rebuilt as a vmapped JAX Laplace GPC, so it runs
+        on-device instead of sklearn-on-CPU."""
+        n_way, n_total = x.shape[0], x.shape[1]
+        n_query = n_total - self.n_support
+        pred = self._episode_laplace_pred(params, x)
         y_query = episode_labels(n_way, n_query)
         return float(jnp.sum(pred == y_query)), n_way * n_query
+
+    @partial(jax.jit, static_argnums=0)
+    def batch_correct_laplace(self, params, xb: Array) -> Array:
+        """Per-episode Laplace-head accuracy% [B]: the --laplace test loop
+        batches like the standard path instead of one dispatch per episode
+        (all ways x episodes share one batched Newton solve)."""
+        n_way, n_total = xb.shape[1], xb.shape[2]
+        y_query = episode_labels(n_way, n_total - self.n_support)
+
+        def one(x):
+            pred = self._episode_laplace_pred(params, x)
+            return jnp.mean((pred == y_query).astype(jnp.float32)) * 100.0
+
+        return jax.vmap(one)(xb)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def batch_correct_adapted(self, params, xb: Array, steps: int,
+                              lr: float = 1e-3) -> Array:
+        """Per-episode accuracy% [B] after `steps` of per-episode GP
+        hyperparameter adaptation on the support set (the --adaptation
+        path, reference DKT.py:249-256) — each episode's lax.scan adapt
+        runs under one vmap, so 600 episodes are ceil(600/B) dispatches."""
+        n_way, n_total = xb.shape[1], xb.shape[2]
+        y_query = episode_labels(n_way, n_total - self.n_support)
+
+        def one(x):
+            p = self.adapt_gp(params, x, steps=steps, lr=lr)
+            pred = jnp.argmax(self.episode_scores(p, x), axis=-1)
+            return jnp.mean((pred == y_query).astype(jnp.float32)) * 100.0
+
+        return jax.vmap(one)(xb)
 
     # -- test-time GP adaptation (reference correct(N>0), DKT.py:249-256) --
 

@@ -115,31 +115,31 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
         if ckpt_file is not None:
             params, _ = load_checkpoint(ckpt_file, params)
             print(f"loaded {ckpt_file}")
-        # special heads evaluate per-episode; the standard path batches
-        # --episode_batch episodes into one vmapped device dispatch
+        # the special DKT heads (--laplace / --adaptation) batch episodes
+        # the same way as the standard path: one vmapped dispatch per
+        # --episode_batch episodes (reference runs them per-episode)
         special = (isinstance(model, DKT)
                    and (getattr(params_cli, "laplace", False)
                         or params_cli.adaptation))
-        episode_batch = 1 if special else max(params_cli.episode_batch, 1)
+        episode_batch = max(params_cli.episode_batch, 1)
         loader = EpisodicDataLoader(
             novel_file, image_size, n_way, n_support, n_query,
             n_episodes=params_cli.n_iter, episode_batch=episode_batch,
             aug=False, seed=seed, output_uint8=True)
         accs = []
         for xb in loader:
+            xb = jnp.asarray(xb)
             if special:
-                x = jnp.asarray(xb[0])
                 if getattr(params_cli, "laplace", False):
                     # Laplace head (reference test.py --laplace ->
                     # DKT.correct(laplace=True), methods/DKT.py:207-222)
-                    c, n = model.correct_laplace(params, x)
+                    batch_acc = model.batch_correct_laplace(params, xb)
                 else:
-                    p = model.adapt_gp(params, x, steps=100)
-                    c, n = model.correct(p, x)
-                accs.append(c / n * 100)
+                    batch_acc = model.batch_correct_adapted(params, xb,
+                                                            steps=100)
             else:
-                accs.extend(np.asarray(
-                    model.batch_correct(params, jnp.asarray(xb))))
+                batch_acc = model.batch_correct(params, xb)
+            accs.extend(np.asarray(batch_acc))
         accs = np.asarray(accs)
         return float(accs.mean()), ci95(accs)
 

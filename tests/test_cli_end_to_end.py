@@ -51,9 +51,17 @@ COMMON = ["--dataset=omniglot", "--model=Conv4", "--train_n_way=3",
 
 def test_train_and_test_dkt_from_images(dataset_cwd):
     train_cli.main(COMMON + ["--method=DKT", "--stop_epoch=1",
-                             "--n_train_episodes=3"])
+                             "--n_train_episodes=10"])
     ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
     assert os.path.isfile(ckpt)
+
+    # train telemetry (reference methods/DKT.py:167-196): GP support/query
+    # accuracy scalars + z_support histogram land in the metrics stream
+    log = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/log/metrics.jsonl"
+    assert os.path.isfile(log)
+    txt = open(log).read()
+    assert "GP_support_accuracy" in txt and "GP_query_accuracy" in txt
+    assert "z_support/mean" in txt
 
     test_cli.main(COMMON + ["--method=DKT", "--n_iter=2", "--repeat=1"])
     assert os.path.isfile("record/results.txt")
@@ -79,10 +87,12 @@ def test_dkt_laplace_and_adaptation_heads(dataset_cwd):
     finetune) test-time variants over the trained DKT checkpoint."""
     ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
     assert os.path.isfile(ckpt), "run order: DKT train must come first"
-    test_cli.main(COMMON + ["--method=DKT", "--n_iter=1", "--repeat=1",
-                            "--laplace"])
-    test_cli.main(COMMON + ["--method=DKT", "--n_iter=1", "--repeat=1",
-                            "--adaptation"])
+    # episode_batch=2: the special heads batch episodes like the standard
+    # path (batch_correct_laplace / batch_correct_adapted)
+    test_cli.main(COMMON + ["--method=DKT", "--n_iter=2", "--repeat=1",
+                            "--episode_batch=2", "--laplace"])
+    test_cli.main(COMMON + ["--method=DKT", "--n_iter=2", "--repeat=1",
+                            "--episode_batch=2", "--adaptation"])
     txt = open("record/results.txt").read()
     assert "-adapted" in txt
 

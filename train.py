@@ -161,15 +161,36 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
             state = model.reset_opt_state(state)  # reference DKT.py:114-115
         avg_loss, i = 0.0, 0
         extra = {}
+        print_freq = 10
         with profile_ctx:
             for xb in base_loader:
-                state, m = model.train_step(state, jnp.asarray(xb))
+                xb = jnp.asarray(xb)
+                state, m = model.train_step(state, xb)
                 avg_loss += float(m["loss"])
                 i += 1
                 extra = {k: float(v) for k, v in m.items() if k != "loss"}
-                if i % 10 == 0:
-                    print(f"Epoch {epoch} | Batch {i}/{len(base_loader)} | "
-                          f"Loss {avg_loss / i:.6f}")
+                if i % print_freq == 0:
+                    line = (f"Epoch {epoch} | Batch {i}/{len(base_loader)} | "
+                            f"Loss {avg_loss / i:.6f}")
+                    if isinstance(model, DKT):
+                        # GP support/query accuracy + z_support histogram
+                        # every print_freq (reference methods/DKT.py:167-196
+                        # computes per episode, prints/histograms every 10)
+                        tele = model.train_telemetry(state.params, xb)
+                        acc_s = float(tele["GP_support_accuracy"])
+                        acc_q = float(tele["GP_query_accuracy"])
+                        it = epoch * len(base_loader) + i
+                        logger.log_scalars(
+                            it, loss=float(m["loss"]),
+                            GP_support_accuracy=acc_s,
+                            GP_query_accuracy=acc_q, **extra)
+                        logger.log_histogram(it, "z_support",
+                                             np.asarray(tele["z_support"]))
+                        hyp = " | ".join(f"{k.capitalize()} {v:f}"
+                                         for k, v in extra.items())
+                        line += (f" | {hyp} | Supp. {acc_s:.2f} | "
+                                 f"Query {acc_q:.2f}")
+                    print(line)
         if profile_dir and epoch == start_epoch:
             print(f"profile trace written to {profile_dir}")
         acc = _val_acc(model, state.params, val_loader)
