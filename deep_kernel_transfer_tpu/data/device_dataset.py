@@ -1,0 +1,189 @@
+"""Device-resident episodic dataset — the whole split staged in HBM once,
+episodes sampled and gathered on device under jit.
+
+TPU-native replacement for streaming episodes over the host->device link.
+The reference streams every episode through 12 DataLoader workers + PCIe
+(reference data/datamgr.py:82); this framework's EpisodicDataLoader
+streams uint8 batches over the transfer link, which on a tunnelled TPU is
+the hard wall (~10-60 MB/s measured). Few-shot splits are small — novel
+splits are tens of MB as 84px uint8 and every base split of the
+reference's five datasets fits in at most ~1 GB — so the TPU-first design
+is:
+
+  1. decode + eval-transform every unique image ONCE on host (uint8,
+     native C++ fast path when built),
+  2. ship the whole split as one [n_images, H, W, 3] uint8 device array,
+  3. sample episode index tensors with jax.random INSIDE jit and gather —
+     a 600-episode eval does ZERO host->device transfers after staging.
+
+Episode-composition parity (reference data/dataset.py:29-87 SetDataset +
+EpisodicBatchSampler): n_way classes are drawn without replacement; S+Q
+images per class are drawn without replacement, falling back to
+with-replacement only when the class holds fewer than S+Q images
+(EpisodicDataLoader._one_episode implements the same rules on host).
+Pixels are bit-identical to the host eval path — the same
+TransformPipeline decodes them; only the RNG sampling the episode
+composition differs (jax.random instead of np.random).
+
+For training, `canvas=True` stages full images resized to a square
+int(1.15 * image_size) canvas instead of the eval scale+center-crop, so
+the on-device augmentation pipeline (data/device_aug.py) can take random
+crops under jit.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .filelist import FileListMeta
+from .transforms import TransformPipeline, load_image
+
+
+class DeviceDataset:
+    """One split resident in device memory + jitted episode sampler."""
+
+    def __init__(
+        self,
+        data_file: str,
+        image_size: int,
+        canvas: bool = False,
+        min_slots: int = 128,
+        verbose: bool = False,
+    ):
+        meta = FileListMeta(data_file)
+        sub = meta.by_class()
+        classes = sorted(sub.keys())
+
+        # decode each unique path once (classes can share images in
+        # principle; filelists in practice don't, but dedup is free)
+        paths: list[str] = []
+        path_id: dict[str, int] = {}
+        for c in classes:
+            for p in sub[c]:
+                if p not in path_id:
+                    path_id[p] = len(paths)
+                    paths.append(p)
+
+        if canvas:
+            size = int(image_size * 1.15)
+            host = np.stack([_load_canvas(p, size) for p in paths])
+        else:
+            tp = TransformPipeline(image_size, aug=False, output_uint8=True)
+            host = np.stack([tp.load(p) for p in paths])
+        if verbose:
+            print(f"[device_data] staged {len(paths)} images "
+                  f"({host.nbytes / 1e6:.1f} MB uint8) -> device")
+
+        counts = np.array([len(sub[c]) for c in classes], np.int32)
+        # wrap-padded per-class image-id table: slot j of class c is image
+        # j % count(c); slots beyond count duplicate images uniformly, which
+        # is what the with-replacement fallback needs (see sample rules)
+        width = max(int(counts.max()), min_slots)
+        table = np.empty((len(classes), width), np.int32)
+        for ci, c in enumerate(classes):
+            ids = np.array([path_id[p] for p in sub[c]], np.int32)
+            reps = -(-width // len(ids))
+            table[ci] = np.tile(ids, reps)[:width]
+
+        self.image_size = image_size
+        self.canvas = canvas
+        self.n_class = len(classes)
+        self.class_labels = np.asarray(classes, np.int32)
+        self.images = jax.device_put(host)          # [n_img, H, W, 3] u8
+        self.table = jax.device_put(table)          # [n_class, width] i32
+        self.counts = jax.device_put(counts)        # [n_class] i32
+        self.nbytes = int(host.nbytes)
+
+    # ---------------------------------------------------------------- sample
+    def sample_episode_ids(self, key, n_way: int, k: int, batch: int):
+        """[batch, n_way, k] image ids, sampled per the reference's rules."""
+        assert k <= self.table.shape[1], (
+            f"S+Q={k} exceeds slot table width {self.table.shape[1]}")
+        return _sample_ids(self.table, self.counts, key, n_way, k, batch)
+
+    def sample_episodes(self, key, n_way: int, n_support: int, n_query: int,
+                        batch: int = 1):
+        """[batch, n_way, S+Q, H, W, 3] uint8, entirely on device."""
+        ids = self.sample_episode_ids(key, n_way, n_support + n_query, batch)
+        return jnp.take(self.images, ids, axis=0)
+
+    # ---------------------------------------------------------------- loader
+    def epoch(self, seed: int, n_way: int, n_support: int, n_query: int,
+              n_episodes: int, episode_batch: int = 1,
+              augment_to: Optional[int] = None) -> Iterator[jnp.ndarray]:
+        """EpisodicDataLoader-shaped iterator (device arrays out).
+
+        `augment_to` runs the on-device aug pipeline (device_aug.augment)
+        per batch — only valid on canvas-staged datasets."""
+        assert augment_to is None or self.canvas, (
+            "augmentation needs canvas staging (DeviceDataset(canvas=True))")
+        assert not (self.canvas and augment_to is None), (
+            "canvas-staged images must be augmented down to the model size")
+        key = jax.random.PRNGKey(seed)
+        remaining = n_episodes
+        while remaining > 0:
+            b = min(episode_batch, remaining)
+            key, sub = jax.random.split(key)
+            x = self.sample_episodes(sub, n_way, n_support, n_query, b)
+            if augment_to is not None:
+                from .device_aug import augment
+
+                key, sub2 = jax.random.split(key)
+                x = augment(sub2, x, augment_to)
+            yield x
+            remaining -= b
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _sample_ids(table, counts, key, n_way: int, k: int, batch: int):
+    """Episode composition on device: n_way distinct classes, then k images
+    per class without replacement (all wrap slots open — i.e. uniform with
+    replacement — only when the class holds fewer than k images)."""
+    n_class, width = table.shape
+
+    def one(key):
+        kw, ki = jax.random.split(key)
+        ways = jax.random.permutation(kw, n_class)[:n_way]
+        cnt = counts[ways]                                     # [n_way]
+        u = jax.random.uniform(ki, (n_way, width))
+        limit = jnp.where(cnt >= k, cnt, width)[:, None]
+        u = jnp.where(jnp.arange(width)[None, :] < limit, u, jnp.inf)
+        picks = jnp.argsort(u, axis=1)[:, :k]                  # [n_way, k]
+        return table[ways[:, None], picks]
+
+    return jax.vmap(one)(jax.random.split(key, batch))
+
+
+_CACHE: dict = {}
+
+
+def cached_dataset(data_file: str, image_size: int, canvas: bool = False,
+                   verbose: bool = False) -> "DeviceDataset":
+    """Process-level cache so repeated runs (--repeat seeds, train+val on
+    the same split) stage each split once."""
+    key = (os.path.abspath(data_file), os.path.getmtime(data_file),
+           image_size, canvas)
+    if key not in _CACHE:
+        _CACHE[key] = DeviceDataset(data_file, image_size, canvas=canvas,
+                                    verbose=verbose)
+    return _CACHE[key]
+
+
+def _load_canvas(path: str, size: int) -> np.ndarray:
+    """Full image resized to a square canvas (reference's Scale step only,
+    data/datamgr.py:32 — no crop), as uint8 HWC."""
+    img = load_image(path).resize((size, size), 2)  # 2 = PIL BILINEAR
+    return np.asarray(img, np.uint8)
+
+
+def fits_budget(data_file: str, image_size: int, canvas: bool = False,
+                budget_bytes: int = 4 << 30) -> bool:
+    """Cheap pre-check: would the staged split fit in `budget_bytes`?"""
+    meta = FileListMeta(data_file)
+    size = int(image_size * 1.15) if canvas else image_size
+    return len(meta.image_names) * size * size * 3 <= budget_bytes

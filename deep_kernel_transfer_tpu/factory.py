@@ -99,6 +99,20 @@ def default_stop_epoch(params) -> int:
     return 600
 
 
+def use_device_data(params, data_file: str, image_size: int,
+                    canvas: bool = False) -> bool:
+    """Resolve the --device_data tri-state: stage the split in HBM when
+    forced on, or (auto) when it fits the budget (data/device_dataset.py)."""
+    mode = getattr(params, "device_data", "off")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    from .data.device_dataset import fits_budget
+
+    return fits_budget(data_file, image_size, canvas=canvas)
+
+
 def train_n_query(params) -> int:
     """n_query = max(1, 16 * test_n_way / train_n_way) (train.py:132-133)."""
     return max(1, int(16 * params.test_n_way / params.train_n_way))

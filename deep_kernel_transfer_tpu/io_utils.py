@@ -36,6 +36,12 @@ def parse_args(script: str, argv=None):
                         help="GP kernel for DKT (default: configs.kernel_type)")
     parser.add_argument("--episode_batch", default=1, type=int,
                         help="episodes per device step (vmapped batch)")
+    parser.add_argument("--device_data", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="stage the whole split in device memory and "
+                             "sample episodes on device (TPU-native fast "
+                             "path; see data/device_dataset.py). auto = "
+                             "enabled when the split fits the 4 GB budget")
     parser.add_argument("--n_devices", default=None, type=int,
                         help="devices in the episode-parallel mesh (default all)")
     parser.add_argument("--feature_dtype", default="bfloat16",

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from deep_kernel_transfer_tpu import factory
 from deep_kernel_transfer_tpu.data import EpisodicDataLoader
+from deep_kernel_transfer_tpu.data.device_dataset import cached_dataset
 from deep_kernel_transfer_tpu.data.feature_cache import (
     init_loader,
     sample_feature_episode,
@@ -122,10 +123,19 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
                    and (getattr(params_cli, "laplace", False)
                         or params_cli.adaptation))
         episode_batch = max(params_cli.episode_batch, 1)
-        loader = EpisodicDataLoader(
-            novel_file, image_size, n_way, n_support, n_query,
-            n_episodes=params_cli.n_iter, episode_batch=episode_batch,
-            aug=False, seed=seed, output_uint8=True)
+        if factory.use_device_data(params_cli, novel_file, image_size):
+            # TPU-native fast path: the whole novel split lives in HBM and
+            # episodes are sampled + gathered on device — zero host->device
+            # transfers inside the 600-episode loop (data/device_dataset.py)
+            dds = cached_dataset(novel_file, image_size, verbose=True)
+            loader = dds.epoch(seed, n_way, n_support, n_query,
+                               n_episodes=params_cli.n_iter,
+                               episode_batch=episode_batch)
+        else:
+            loader = EpisodicDataLoader(
+                novel_file, image_size, n_way, n_support, n_query,
+                n_episodes=params_cli.n_iter, episode_batch=episode_batch,
+                aug=False, seed=seed, output_uint8=True)
         accs = []
         for xb in loader:
             xb = jnp.asarray(xb)

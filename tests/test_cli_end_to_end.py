@@ -36,9 +36,12 @@ def dataset_cwd(tmp_path_factory):
             labels.append(cl)
     meta = {"label_names": [f"c{i}" for i in range(N_CLASSES)],
             "image_names": names, "image_labels": labels}
+    (root / "filelists" / "CUB").mkdir(parents=True)
     for split in ("base", "val", "novel"):
         with open(root / "filelists" / "omniglot" / f"{split}.json", "w") as f:
             json.dump(meta, f)
+        with open(root / "filelists" / "CUB" / f"{split}.json", "w") as f:
+            json.dump(meta, f)  # aug-capable dataset (omniglot forbids aug)
     old = os.getcwd()
     os.chdir(root)
     yield root
@@ -169,3 +172,22 @@ def test_matchingnet_feature_path(dataset_cwd):
     test_cli.main(COMMON + ["--method=matchingnet", "--n_iter=2",
                             "--repeat=1"])
     assert "omniglot-Conv4S-matchingnet" in open("record/results.txt").read()
+
+
+def test_device_data_train_aug_and_eval_toggle(dataset_cwd):
+    """Device-resident path (--device_data): canvas-staged training with
+    on-device augmentation (data/device_aug.py), then eval with the HBM
+    sampler ON vs the host loader OFF — both must complete end-to-end and
+    log results (the auto default already covers ON elsewhere). Uses the
+    CUB fixture at 84px: omniglot forbids augmentation (factory rule)."""
+    cub = ["--dataset=CUB", "--model=Conv4", "--train_n_way=3",
+           "--test_n_way=3", "--n_shot=2", "--seed=1", "--train_aug"]
+    train_cli.main(cub + ["--method=DKT", "--stop_epoch=1",
+                          "--n_train_episodes=6", "--device_data=on"])
+    ckpt = "save/checkpoints/CUB/Conv4_DKT_aug_3way_2shot/best_model.tar"
+    assert os.path.isfile(ckpt)
+    test_cli.main(cub + ["--method=DKT", "--n_iter=2", "--repeat=1",
+                         "--device_data=on"])
+    test_cli.main(cub + ["--method=DKT", "--n_iter=2", "--repeat=1",
+                         "--device_data=off"])
+    assert "CUB-Conv4-DKT-aug" in open("record/results.txt").read()

@@ -1,0 +1,171 @@
+"""Device-resident dataset + on-device augmentation tests.
+
+Covers: HBM staging parity with the host TransformPipeline, the on-device
+episode sampler's composition rules (reference data/dataset.py:29-87), and
+the jit augmentation pipeline vs its PIL counterpart."""
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image, ImageEnhance
+
+from deep_kernel_transfer_tpu.data import TransformPipeline
+from deep_kernel_transfer_tpu.data.device_aug import (
+    _crop_resize,
+    apply_jitter,
+    augment,
+)
+from deep_kernel_transfer_tpu.data.device_dataset import (
+    DeviceDataset,
+    fits_budget,
+)
+
+
+@pytest.fixture(scope="module")
+def filelist(tmp_path_factory):
+    """5 classes x {8,8,8,3,8} images, 24x24 px (one class smaller than
+    S+Q to exercise the with-replacement fallback)."""
+    root = tmp_path_factory.mktemp("dds")
+    rng = np.random.RandomState(7)
+    names, labels = [], []
+    sizes = [8, 8, 8, 3, 8]
+    for cl, n in enumerate(sizes):
+        for i in range(n):
+            arr = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+            p = str(root / f"c{cl}_{i}.jpg")
+            Image.fromarray(arr).save(p)
+            names.append(p)
+            labels.append(cl)
+    jf = str(root / "novel.json")
+    with open(jf, "w") as f:
+        json.dump({"label_names": [f"c{i}" for i in range(5)],
+                   "image_names": names, "image_labels": labels}, f)
+    return jf
+
+
+@pytest.fixture(scope="module")
+def dds(filelist):
+    return DeviceDataset(filelist, image_size=16)
+
+
+def test_stage_and_shapes(dds):
+    assert dds.images.dtype == jnp.uint8
+    assert dds.images.shape == (35, 16, 16, 3)
+    x = dds.sample_episodes(jax.random.PRNGKey(0), n_way=4, n_support=2,
+                            n_query=3, batch=3)
+    assert x.shape == (3, 4, 5, 16, 16, 3)
+    assert x.dtype == jnp.uint8
+
+
+def test_staged_pixels_match_host_pipeline(filelist, dds):
+    tp = TransformPipeline(16, aug=False, output_uint8=True)
+    with open(filelist) as f:
+        meta = json.load(f)
+    host = np.stack([tp.load(p) for p in meta["image_names"]])
+    np.testing.assert_array_equal(np.asarray(dds.images), host)
+
+
+def test_sampler_composition_rules(filelist, dds):
+    """Ways are distinct; images within a large-enough way are distinct and
+    belong to the sampled class; a too-small class still yields its own
+    images (with replacement)."""
+    with open(filelist) as f:
+        meta = json.load(f)
+    labels = np.asarray(meta["image_labels"])
+    k = 5  # class 3 has only 3 images
+    ids = np.asarray(dds.sample_episode_ids(jax.random.PRNGKey(1), 4, k, 8))
+    assert ids.shape == (8, 4, k)
+    for ep in ids:
+        way_classes = [set(labels[w]) for w in ep]
+        # each way's images all come from ONE class
+        assert all(len(s) == 1 for s in way_classes)
+        # ways are distinct classes
+        flat = [next(iter(s)) for s in way_classes]
+        assert len(set(flat)) == 4
+        for w, cl in zip(ep, flat):
+            if (labels == cl).sum() >= k:
+                assert len(set(w.tolist())) == k  # without replacement
+            else:
+                assert set(np.unique(w)) <= set(np.where(labels == cl)[0])
+
+
+def test_small_class_sampled_uniformly(dds):
+    """The wrap-padded slot table must not bias small-class sampling."""
+    ids = np.asarray(dds.sample_episode_ids(jax.random.PRNGKey(2), 5, 6, 200))
+    # class 3's images are global ids 24,25,26 (8+8+8 .. +3)
+    small = ids[(ids >= 24) & (ids < 27)]
+    assert small.size > 0
+    counts = np.bincount(small - 24, minlength=3)
+    assert counts.min() > 0.2 * counts.max()
+
+
+def test_epoch_iterator(dds):
+    batches = list(dds.epoch(seed=0, n_way=3, n_support=1, n_query=2,
+                             n_episodes=5, episode_batch=2))
+    assert [b.shape[0] for b in batches] == [2, 2, 1]
+    # reseeded epoch reproduces exactly
+    again = list(dds.epoch(seed=0, n_way=3, n_support=1, n_query=2,
+                           n_episodes=5, episode_batch=2))
+    np.testing.assert_array_equal(np.asarray(batches[0]), np.asarray(again[0]))
+
+
+def test_fits_budget(filelist):
+    assert fits_budget(filelist, 16)
+    assert not fits_budget(filelist, 16, budget_bytes=1000)
+
+
+# ---------------------------------------------------------------- device aug
+
+def _smooth_image(s):
+    y, x = np.mgrid[0:s, 0:s].astype(np.float32)
+    r = 128 + 90 * np.sin(x / 6.0)
+    g = 128 + 90 * np.cos(y / 7.0)
+    b = (x + y) / (2 * s) * 255
+    return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+
+
+def test_crop_resize_matches_pil():
+    img = _smooth_image(46)  # canvas for 40px target
+    left, top, cw, ch = 5, 9, 30, 24
+    ours = _crop_resize(jnp.asarray(img, jnp.float32), left, top, cw, ch, 40)
+    ref = Image.fromarray(img).crop((left, top, left + cw, top + ch)).resize(
+        (40, 40), Image.BILINEAR)
+    diff = np.abs(np.asarray(ours) - np.asarray(ref, np.float32))
+    assert diff.max() <= 3.0  # PIL uses uint8 fixed-point accumulation
+
+
+def test_jitter_matches_pil():
+    img = _smooth_image(32)
+    factors = (0.7, 1.3, 0.6)  # Brightness, Contrast, Color
+    ours = np.asarray(apply_jitter(jnp.asarray(img, jnp.float32),
+                                   jnp.asarray(factors)))
+    pil = Image.fromarray(img)
+    pil = ImageEnhance.Brightness(pil).enhance(factors[0]).convert("RGB")
+    pil = ImageEnhance.Contrast(pil).enhance(factors[1]).convert("RGB")
+    pil = ImageEnhance.Color(pil).enhance(factors[2]).convert("RGB")
+    diff = np.abs(ours - np.asarray(pil, np.float32))
+    # PIL rounds to uint8 after EVERY enhancer; we stay in float
+    assert diff.max() <= 3.0
+
+
+def test_augment_end_to_end():
+    rng = np.random.RandomState(0)
+    x = (rng.rand(2, 3, 4, 18, 18, 3) * 255).astype(np.uint8)
+    out = augment(jax.random.PRNGKey(0), jnp.asarray(x), 16)
+    assert out.shape == (2, 3, 4, 16, 16, 3)
+    assert out.dtype == jnp.uint8
+    out2 = augment(jax.random.PRNGKey(0), jnp.asarray(x), 16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = augment(jax.random.PRNGKey(1), jnp.asarray(x), 16)
+    assert not np.array_equal(np.asarray(out), np.asarray(out3))
+
+
+def test_canvas_staging(filelist):
+    ds = DeviceDataset(filelist, image_size=16, canvas=True)
+    s0 = int(16 * 1.15)
+    assert ds.images.shape[1:] == (s0, s0, 3)
+    x = ds.sample_episodes(jax.random.PRNGKey(0), 3, 1, 2, batch=2)
+    out = augment(jax.random.PRNGKey(1), x, 16)
+    assert out.shape == (2, 3, 3, 16, 16, 3)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from deep_kernel_transfer_tpu import factory
 from deep_kernel_transfer_tpu.data import EpisodicDataLoader, SimpleDataLoader
+from deep_kernel_transfer_tpu.data.device_dataset import cached_dataset
 from deep_kernel_transfer_tpu.io_utils import parse_args
 from deep_kernel_transfer_tpu.methods import DKT, MAML, BaselineTrain
 from deep_kernel_transfer_tpu.utils.checkpoint import (
@@ -108,16 +109,43 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         stop_epoch = stop_epoch * model.n_task
 
     n_episodes = getattr(params_cli, "n_train_episodes", 100)
-    # uint8 pipeline: the trunk normalises on device (4x less
-    # host->device traffic than normalised f32)
-    base_loader = EpisodicDataLoader(
-        base_file, image_size, n_way, n_support, n_query,
-        n_episodes=n_episodes, episode_batch=episode_batch,
-        aug=params_cli.train_aug, seed=params_cli.seed, output_uint8=True)
-    val_loader = EpisodicDataLoader(
-        val_file, image_size, params_cli.test_n_way, n_support, n_query,
-        n_episodes=n_episodes, episode_batch=episode_batch, aug=False,
-        seed=params_cli.seed + 1, output_uint8=True)
+    n_batches = -(-n_episodes // episode_batch)
+    use_dd = factory.use_device_data(params_cli, base_file, image_size,
+                                     canvas=params_cli.train_aug)
+    if use_dd:
+        # TPU-native fast path: both splits resident in HBM, episodes
+        # sampled + (optionally) augmented on device — the host never
+        # touches pixels inside the training loop (data/device_dataset.py,
+        # data/device_aug.py)
+        base_ds = cached_dataset(base_file, image_size,
+                                 canvas=params_cli.train_aug, verbose=True)
+        val_ds = cached_dataset(val_file, image_size, verbose=True)
+        aug_to = image_size if params_cli.train_aug else None
+
+        def base_iter(epoch):
+            return base_ds.epoch(
+                params_cli.seed * 100003 + epoch, n_way, n_support, n_query,
+                n_episodes=n_episodes, episode_batch=episode_batch,
+                augment_to=aug_to)
+
+        def val_iter(epoch):
+            return val_ds.epoch(
+                params_cli.seed * 100003 + 50001 + epoch,
+                params_cli.test_n_way, n_support, n_query,
+                n_episodes=n_episodes, episode_batch=episode_batch)
+    else:
+        # uint8 pipeline: the trunk normalises on device (4x less
+        # host->device traffic than normalised f32)
+        base_loader = EpisodicDataLoader(
+            base_file, image_size, n_way, n_support, n_query,
+            n_episodes=n_episodes, episode_batch=episode_batch,
+            aug=params_cli.train_aug, seed=params_cli.seed, output_uint8=True)
+        val_loader = EpisodicDataLoader(
+            val_file, image_size, params_cli.test_n_way, n_support, n_query,
+            n_episodes=n_episodes, episode_batch=episode_batch, aug=False,
+            seed=params_cli.seed + 1, output_uint8=True)
+        base_iter = lambda epoch: base_loader
+        val_iter = lambda epoch: val_loader
 
     example = jnp.zeros((n_way, n_support + n_query, image_size, image_size, 3),
                         jnp.float32)
@@ -163,14 +191,14 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         extra = {}
         print_freq = 10
         with profile_ctx:
-            for xb in base_loader:
+            for xb in base_iter(epoch):
                 xb = jnp.asarray(xb)
                 state, m = model.train_step(state, xb)
                 avg_loss += float(m["loss"])
                 i += 1
                 extra = {k: float(v) for k, v in m.items() if k != "loss"}
                 if i % print_freq == 0:
-                    line = (f"Epoch {epoch} | Batch {i}/{len(base_loader)} | "
+                    line = (f"Epoch {epoch} | Batch {i}/{n_batches} | "
                             f"Loss {avg_loss / i:.6f}")
                     if isinstance(model, DKT):
                         # GP support/query accuracy + z_support histogram
@@ -179,7 +207,7 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
                         tele = model.train_telemetry(state.params, xb)
                         acc_s = float(tele["GP_support_accuracy"])
                         acc_q = float(tele["GP_query_accuracy"])
-                        it = epoch * len(base_loader) + i
+                        it = epoch * n_batches + i
                         logger.log_scalars(
                             it, loss=float(m["loss"]),
                             GP_support_accuracy=acc_s,
@@ -193,7 +221,7 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
                     print(line)
         if profile_dir and epoch == start_epoch:
             print(f"profile trace written to {profile_dir}")
-        acc = _val_acc(model, state.params, val_loader)
+        acc = _val_acc(model, state.params, val_iter(epoch))
         print(f"Epoch {epoch} | Val acc {acc:.2f}%")
         logger.log_scalars(epoch, loss=avg_loss / max(i, 1),
                            test_accuracy=acc, **extra)
