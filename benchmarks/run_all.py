@@ -77,6 +77,59 @@ def bench_eval():
     return out
 
 
+def bench_device_data(tmp="/tmp/_bench_dds"):
+    """Device-resident eval (data/device_dataset.py): one-time staging of a
+    synthetic 20-class novel split, then the 600-episode protocol sampled +
+    gathered + scored entirely on device."""
+    import json as _json
+
+    from PIL import Image
+
+    from deep_kernel_transfer_tpu.data.device_dataset import DeviceDataset
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.models.backbones import Conv4
+
+    os.makedirs(tmp, exist_ok=True)
+    jf = os.path.join(tmp, "novel.json")
+    if not os.path.isfile(jf):
+        rng = np.random.RandomState(0)
+        names, labels = [], []
+        for cl in range(20):
+            for i in range(20):
+                arr = (rng.rand(84, 84, 3) * 255).astype(np.uint8)
+                p = os.path.join(tmp, f"c{cl}_{i}.jpg")
+                Image.fromarray(arr).save(p, quality=90)
+                names.append(p)
+                labels.append(cl)
+        with open(jf, "w") as f:
+            _json.dump({"label_names": [f"c{i}" for i in range(20)],
+                        "image_names": names, "image_labels": labels}, f)
+
+    t0 = time.perf_counter()
+    ds = DeviceDataset(jf, 84)
+    x = ds.sample_episodes(jax.random.PRNGKey(0), 5, 5, 15, batch=16)
+    _sync(x)
+    stage_s = time.perf_counter() - t0
+
+    model = DKT(Conv4(), n_way=5, n_support=5, kernel_type="bncossim")
+    state = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((5, 20, 84, 84, 3), jnp.float32))
+
+    def run():
+        acc = None
+        for xb in ds.epoch(seed=0, n_way=5, n_support=5, n_query=15,
+                           n_episodes=600, episode_batch=16):
+            acc = model.batch_correct(state.params, xb)
+        _sync(acc)
+
+    run()  # warm compiles
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return {"device_data_staging_s": round(stage_s, 2),
+            "dkt_eval_eps_per_sec_device_resident": round(600 / dt, 1)}
+
+
 def bench_gp_engine():
     from deep_kernel_transfer_tpu.gp import ExactGP, GaussianLikelihood, make_kernel
     from deep_kernel_transfer_tpu.gp.exact import init_batched, sum_mll
@@ -151,6 +204,38 @@ def bench_kernels():
                 _time(jax.jit(blocked_cholesky), (K,), iters=10) * 1e3, 2)
             out[f"xla_chol_{n}_ms"] = round(
                 _time(jax.jit(jnp.linalg.cholesky), (K,), iters=10) * 1e3, 2)
+        # HBM-resident cholesky crossover vs XLA. In-jit scan repetition so
+        # the tunnel's per-dispatch latency (~3.5 ms) does not mask kernel
+        # time (the same trap as the old full-array-readback sync).
+        from deep_kernel_transfer_tpu.ops.pallas.hbm_cholesky import (
+            fused_gram_cholesky,
+        )
+
+        R = 16
+
+        def reps(make_fn, x):
+            def run(x):
+                def step(c, eps):
+                    return c + make_fn(x, eps)[0, 0, 0], None
+                c, _ = jax.lax.scan(step, 0.0, jnp.linspace(1.0, 1.001, R))
+                return c
+            f = jax.jit(run)
+            _sync(f(x))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                o = f(x)
+            _sync(o)
+            return (time.perf_counter() - t0) / (3 * R) * 1e3
+
+        for n in (1024, 2048):
+            zz = jax.random.normal(jax.random.PRNGKey(2), (2, n, 256)) * 0.3
+            out[f"hbm_chol_fused_{n}_ms"] = round(reps(
+                lambda z, e: fused_gram_cholesky(z, 1.0, e), zz), 2)
+            out[f"xla_gram_chol_{n}_ms"] = round(reps(
+                lambda z, e: jnp.linalg.cholesky(
+                    jnp.einsum("bnd,bmd->bnm", z, z,
+                               precision=jax.lax.Precision.HIGHEST)
+                    + e * jnp.eye(n)), zz), 2)
     except Exception as e:  # pallas needs a real TPU
         out["kernels_skipped"] = str(e)[:200]
     return out
@@ -161,6 +246,7 @@ def main():
               "device_count": jax.device_count(),
               "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
     for name, fn in (("train", bench_train), ("eval", bench_eval),
+                     ("device_data", bench_device_data),
                      ("gp", bench_gp_engine), ("host", bench_host_pipeline),
                      ("kernels", bench_kernels)):
         t0 = time.time()

@@ -19,6 +19,7 @@ from collections import defaultdict
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -43,7 +44,13 @@ def sync(tree: Any) -> float:
     leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
     if not leaves:
         return 0.0
-    return float(np.asarray(leaves[0]).ravel()[0])
+    x = leaves[0]
+    if getattr(x, "size", 1) > 1 and hasattr(x, "aval"):
+        # slice ON DEVICE first: np.asarray on the full array would pull
+        # the whole buffer through the (slow, tunnelled) transfer link and
+        # dominate the measurement for MB-sized outputs
+        x = jnp.ravel(x)[0]
+    return float(np.asarray(x))
 
 
 class StepTimer:

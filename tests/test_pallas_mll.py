@@ -146,3 +146,86 @@ def test_blocked_cholesky_fallback_shapes():
     L = _forward(K)  # 50 % 128 != 0 -> XLA path
     np.testing.assert_allclose(np.asarray(L), np.asarray(jnp.linalg.cholesky(K)),
                                atol=1e-5)
+
+
+_HBM_SCRIPT = r"""
+import numpy as np, jax, jax.numpy as jnp
+if jax.default_backend() not in ("tpu", "axon"):
+    print("NO_TPU"); raise SystemExit(0)
+from deep_kernel_transfer_tpu.ops.pallas.hbm_cholesky import (
+    hbm_blocked_cholesky, fused_gram_cholesky)
+
+rng = np.random.RandomState(0)
+B, N, D = 2, 384, 128  # nt=3 keeps the Mosaic compile quick
+z = jnp.asarray(rng.randn(B, N, D).astype(np.float32) * 0.3)
+K = jnp.einsum("bnd,bmd->bnm", z, z, precision=jax.lax.Precision.HIGHEST)
+L_ref = np.asarray(jnp.linalg.cholesky(K + 1.0 * jnp.eye(N)))
+
+L_h = np.asarray(hbm_blocked_cholesky(K, 1.0))
+rel = np.abs(L_h - L_ref).max() / np.abs(L_ref).max()
+assert rel < 1e-5, ("general", rel)
+assert np.abs(np.triu(L_h[0], 1)).max() == 0.0
+
+L_f = np.asarray(fused_gram_cholesky(z, 1.0, 1.0))
+rel = np.abs(L_f - L_ref).max() / np.abs(L_ref).max()
+assert rel < 1e-5, ("fused", rel)
+
+# gradient parity vs the XLA chain through a logdet + quadratic form
+y = jnp.asarray(rng.randn(B, N).astype(np.float32))
+def obj(chol_fn):
+    def f(z):
+        L = chol_fn(z)
+        al = jax.scipy.linalg.cho_solve((L[0], True), y[0])
+        return (jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+                + 0.5 * y[0] @ al)
+    return f
+gx = jax.grad(obj(lambda z: jnp.linalg.cholesky(
+    jnp.einsum("bnd,bmd->bnm", z, z, precision=jax.lax.Precision.HIGHEST)
+    + 1.0 * jnp.eye(N))))(z)
+gf = jax.grad(obj(lambda z: fused_gram_cholesky(z, 1.0, 1.0)))(z)
+rel = float(jnp.abs(gf - gx).max() / (jnp.abs(gx).max() + 1e-9))
+# XLA's cholesky VJP runs its matmuls at default (bf16) precision on TPU,
+# so the two f32 gradient chains legitimately differ by a few percent; the
+# exact-formula check lives in test_hbm_cholesky_bwd_formula (CPU).
+assert rel < 0.1, rel
+print("HBM_OK")
+"""
+
+
+def test_hbm_cholesky_on_tpu():
+    _run_on_tpu(_HBM_SCRIPT, "HBM_OK")
+
+
+def test_hbm_cholesky_bwd_formula():
+    """The fused kernel's custom VJP (Murray cholesky reverse + Gram chain)
+    matches autodiff through the XLA chain — checked on CPU where both
+    sides run the same f32 math (runs in the suite's CPU env)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from deep_kernel_transfer_tpu.ops.pallas.hbm_cholesky import _fused_bwd
+
+    rng = np.random.RandomState(0)
+    B, N, D = 2, 48, 16
+    z = jnp.asarray(rng.randn(B, N, D).astype(np.float32) * 0.5)
+    scale, diag = 0.7, 1.3
+
+    def chol_chain(z):
+        K = scale * jnp.einsum("bnd,bmd->bnm", z, z) + diag * jnp.eye(N)
+        return jnp.linalg.cholesky(K)
+
+    L = chol_chain(z)
+    Lbar = jnp.asarray(rng.randn(B, N, N).astype(np.float32)) * jnp.tril(
+        jnp.ones((N, N)))
+    _, vjp = jax.vjp(chol_chain, z)
+    gz_ref, = vjp(Lbar)
+    gz, gs, gd = _fused_bwd((z, jnp.float32(scale), L), Lbar)
+    assert float(jnp.abs(gz - gz_ref).max() / jnp.abs(gz_ref).max()) < 2e-2
+
+    f = lambda s, d: jnp.sum(jnp.linalg.cholesky(
+        s * jnp.einsum("bnd,bmd->bnm", z, z) + d * jnp.eye(N)) * Lbar)
+    gs_ref = jax.grad(f, argnums=0)(jnp.float32(scale), jnp.float32(diag))
+    gd_ref = jax.grad(f, argnums=1)(jnp.float32(scale), jnp.float32(diag))
+    assert float(abs(gs - gs_ref) / abs(gs_ref)) < 2e-2
+    assert float(abs(gd - gd_ref) / abs(gd_ref)) < 2e-2
