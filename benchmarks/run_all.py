@@ -149,6 +149,50 @@ def bench_gp_engine():
     return {"gp_engine_ms_per_task": round(dt / (8 * 5) * 1e3, 3)}
 
 
+def bench_woodbury():
+    """Low-rank (Woodbury) GP path vs dense Cholesky for the linear kernel
+    family at large N (gp/low_rank.py; in-jit scan repetition timing)."""
+    from deep_kernel_transfer_tpu.gp import (
+        ExactGP,
+        GaussianLikelihood,
+        make_kernel,
+    )
+    from deep_kernel_transfer_tpu.gp.kernels import Kernel
+
+    R = 16
+
+    def reps(fn, x, y):
+        def run(x, y):
+            def step(c, eps):
+                return c + fn(x * eps, y), None
+            c, _ = jax.lax.scan(step, 0.0, jnp.linspace(1.0, 1.001, R))
+            return c
+        f = jax.jit(run)
+        _sync(f(x, y))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            o = f(x, y)
+        _sync(o)
+        return (time.perf_counter() - t0) / (3 * R) * 1e3
+
+    k = make_kernel("bncossim")
+    lik = GaussianLikelihood(trainable=False, fixed_noise=0.1)
+    gp = ExactGP(k, lik)
+    gpd = ExactGP(Kernel(k.init, k.apply, None), lik)
+    params = gp.init(jax.random.PRNGKey(0))
+    N, D = 4096, 256
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    y = jnp.where(jax.random.bernoulli(jax.random.PRNGKey(2), 0.2, (N,)),
+                  1.0, -1.0)
+    return {
+        "woodbury_mll_4096x256_ms": round(
+            reps(lambda x, y: gp.mll(params, x, y), x, y), 3),
+        "dense_mll_4096x256_ms": round(
+            reps(lambda x, y: gpd.mll(params, x, y), x, y), 3),
+    }
+
+
 def bench_host_pipeline(tmp="/tmp/_bench_img"):
     from PIL import Image
 
@@ -247,7 +291,8 @@ def main():
               "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
     for name, fn in (("train", bench_train), ("eval", bench_eval),
                      ("device_data", bench_device_data),
-                     ("gp", bench_gp_engine), ("host", bench_host_pipeline),
+                     ("gp", bench_gp_engine), ("woodbury", bench_woodbury),
+                     ("host", bench_host_pipeline),
                      ("kernels", bench_kernels)):
         t0 = time.time()
         report.update(fn())

@@ -114,15 +114,31 @@ class ExactGP(NamedTuple):
         """
         n = x.shape[0]
         mean = constant_mean(params["mean"], x)
-        k = self.kernel.apply(params["kernel"], x, x)
         noise = self.likelihood.noise(params["likelihood"])
+        diff = y - mean
+        if self._use_low_rank(params, x):
+            # linear-family kernel with N >> D: exact Woodbury route,
+            # O(N D^2) with no N x N Gram (gp/low_rank.py)
+            from .low_rank import woodbury_mll
+
+            s, z = self.kernel.low_rank(params["kernel"], x)
+            return woodbury_mll(z, diff, s, noise)
+        k = self.kernel.apply(params["kernel"], x, x)
         k_noisy = k + noise * jnp.eye(n, dtype=k.dtype)
         chol = psd_safe_cholesky(k_noisy)
-        diff = y - mean
         alpha = _chol_solve(chol, diff)
         quad = jnp.dot(diff, alpha)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
         return -0.5 * (quad + logdet + n * _LOG_2PI) / n
+
+    def _use_low_rank(self, params: dict, x: Array) -> bool:
+        """Static (shape-level) routing decision: the kernel is exactly
+        low-rank and the factor is at most half the support size."""
+        if self.kernel.low_rank is None:
+            return False
+        _, z = jax.eval_shape(
+            lambda p, xx: self.kernel.low_rank(p, xx), params["kernel"], x)
+        return 2 * z.shape[-1] <= x.shape[0]
 
     # -- posterior (conditioning on a support set) ------------------------
 
@@ -146,6 +162,17 @@ class ExactGP(NamedTuple):
         mean_tr = constant_mean(params["mean"], x_train)
         mean_q = constant_mean(params["mean"], x_query)
         kp = params["kernel"]
+        if self._use_low_rank(params, x_train):
+            from .low_rank import woodbury_posterior
+
+            s, z_tr = self.kernel.low_rank(kp, x_train)
+            _, z_q = self.kernel.low_rank(kp, x_query)
+            noise = self.likelihood.noise(params["likelihood"])
+            mean_adj, var, cov = woodbury_posterior(
+                z_tr, y_train - mean_tr, z_q, s, noise,
+                full_covariance=full_covariance)
+            return MultivariateNormal(mean_q + mean_adj,
+                                      jnp.maximum(var, 1e-10), cov)
         k_tt = self.kernel.apply(kp, x_train, x_train)
         k_tq = self.kernel.apply(kp, x_train, x_query)  # [N, M]
         noise = self.likelihood.noise(params["likelihood"])

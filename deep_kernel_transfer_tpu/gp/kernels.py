@@ -72,10 +72,18 @@ def dist(x1: Array, x2: Array) -> Array:
 
 
 class Kernel(NamedTuple):
-    """A pure-functional kernel: parameter initialiser + Gram function."""
+    """A pure-functional kernel: parameter initialiser + Gram function.
+
+    `low_rank`, when set, exposes the kernel's exact factored structure
+    k(X, X) = s * Phi(X) Phi(X)^T as params, x -> (s, Phi(X)); the GP
+    engine uses it to route large-N problems through the Woodbury /
+    matrix-determinant-lemma path (gp/low_rank.py) at O(N D^2) instead of
+    an O(N^3) Cholesky. Linear-family kernels (linear, cossim, bncossim,
+    poli1) are exactly low-rank; RBF/Matern/spectral leave it None."""
 
     init: Callable[[Array], dict]  # key -> params pytree
     apply: Callable[[dict, Array, Array], Array]  # (params, x1, x2) -> Gram
+    low_rank: Callable[[dict, Array], tuple] | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +147,9 @@ def linear_kernel(train_variance: bool = True) -> Kernel:
             v = softplus(params["raw_variance"])
             return v * _dot_f32(x1, x2)
 
+        def low_rank(params, x):
+            return softplus(params["raw_variance"]), x
+
     else:
 
         def init(key):
@@ -148,7 +159,11 @@ def linear_kernel(train_variance: bool = True) -> Kernel:
         def apply(params, x1, x2):
             return _dot_f32(x1, x2)
 
-    return Kernel(init, apply)
+        def low_rank(params, x):
+            del params
+            return jnp.ones(()), x
+
+    return Kernel(init, apply, low_rank)
 
 
 def polynomial_kernel(power: int) -> Kernel:
@@ -164,6 +179,15 @@ def polynomial_kernel(power: int) -> Kernel:
         base = _dot_f32(x1, x2) + offset
         return base**power
 
+    if power == 1:
+        # (a.b + c) is exactly low-rank: Phi(x) = [x, sqrt(c)]
+        def low_rank(params, x):
+            offset = softplus(params["raw_offset"])
+            ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
+            return jnp.ones(()), jnp.concatenate(
+                [x, jnp.sqrt(offset) * ones], axis=-1)
+
+        return Kernel(init, apply, low_rank)
     return Kernel(init, apply)
 
 
@@ -177,7 +201,14 @@ def scale(base: Kernel) -> Kernel:
         s = softplus(params["raw_outputscale"])
         return s * base.apply(params["base"], x1, x2)
 
-    return Kernel(init, apply)
+    low_rank = None
+    if base.low_rank is not None:
+        def low_rank(params, x):
+            s = softplus(params["raw_outputscale"])
+            bs, z = base.low_rank(params["base"], x)
+            return s * bs, z
+
+    return Kernel(init, apply, low_rank)
 
 
 def spectral_mixture_kernel(num_mixtures: int, ard_num_dims: int) -> Kernel:

@@ -1,0 +1,100 @@
+"""Woodbury low-rank GP path (gp/low_rank.py) parity vs the dense engine.
+
+The linear kernel family is exactly K = s Phi Phi^T, so the Woodbury MLL /
+posterior must match the dense Cholesky path to f32 accuracy while never
+building the [N, N] Gram."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from deep_kernel_transfer_tpu.gp import (
+    ExactGP,
+    GaussianLikelihood,
+    make_kernel,
+)
+from deep_kernel_transfer_tpu.gp.kernels import Kernel
+from deep_kernel_transfer_tpu.gp.exact import init_batched, sum_mll
+
+N, D, M = 200, 24, 17
+
+
+def _gps(kind):
+    k = make_kernel(kind)
+    dense_k = Kernel(k.init, k.apply, None)  # force the dense path
+    lik = GaussianLikelihood(trainable=False, fixed_noise=0.1)
+    return ExactGP(k, lik), ExactGP(dense_k, lik)
+
+
+def _data(seed=0, normalize=False):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(N, D).astype(np.float32)
+    xq = rng.randn(M, D).astype(np.float32)
+    if normalize:
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        xq /= np.linalg.norm(xq, axis=-1, keepdims=True)
+    y = rng.randn(N).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y), jnp.asarray(xq)
+
+
+@pytest.mark.parametrize("kind", ["linear", "cossim", "bncossim", "poli1"])
+def test_mll_and_posterior_parity(kind):
+    gp, gp_dense = _gps(kind)
+    params = gp.init(jax.random.PRNGKey(0))
+    x, y, xq = _data(normalize=kind in ("cossim", "bncossim"))
+
+    assert gp._use_low_rank(params, x)
+    m_lr = float(gp.mll(params, x, y))
+    m_d = float(gp_dense.mll(params, x, y))
+    assert abs(m_lr - m_d) < 5e-4 * max(1.0, abs(m_d)), (m_lr, m_d)
+
+    p_lr = gp.posterior(params, x, y, xq)
+    p_d = gp_dense.posterior(params, x, y, xq)
+    np.testing.assert_allclose(np.asarray(p_lr.mean), np.asarray(p_d.mean),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(p_lr.variance),
+                               np.asarray(p_d.variance), rtol=5e-3, atol=5e-3)
+
+    pc_lr = gp.posterior(params, x, y, xq, full_covariance=True)
+    pc_d = gp_dense.posterior(params, x, y, xq, full_covariance=True)
+    np.testing.assert_allclose(np.asarray(pc_lr.covariance),
+                               np.asarray(pc_d.covariance),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_gradient_parity():
+    gp, gp_dense = _gps("linear")
+    params = gp.init(jax.random.PRNGKey(0))
+    x, y, _ = _data()
+    g_lr = jax.grad(lambda p: -gp.mll(p, x, y))(params)
+    g_d = jax.grad(lambda p: -gp_dense.mll(p, x, y))(params)
+    for a, b in zip(jax.tree.leaves(g_lr), jax.tree.leaves(g_d)):
+        denom = float(jnp.abs(b).max()) + 1e-8
+        assert float(jnp.abs(a - b).max()) / denom < 5e-3
+
+
+def test_small_n_stays_dense():
+    """With N < 2D the routing keeps the dense path (identical object)."""
+    gp, _ = _gps("linear")
+    params = gp.init(jax.random.PRNGKey(0))
+    x_small = jnp.asarray(np.random.RandomState(0).randn(30, D), jnp.float32)
+    assert not gp._use_low_rank(params, x_small)
+    # rbf has no low-rank structure at any size
+    rbf_gp = ExactGP(make_kernel("rbf"),
+                     GaussianLikelihood(trainable=False, fixed_noise=0.1))
+    rp = rbf_gp.init(jax.random.PRNGKey(0))
+    assert not rbf_gp._use_low_rank(rp, x_small)
+
+
+def test_vmapped_sum_mll_jits():
+    """The routing is static, so the batched one-vs-rest surface jits and
+    runs through Woodbury unchanged."""
+    gp, gp_dense = _gps("bncossim")
+    params = init_batched(gp, jax.random.PRNGKey(0), 5)
+    x, _, _ = _data(normalize=True)
+    yb = jnp.where(jnp.arange(5)[:, None] == (jnp.arange(N) % 5)[None, :],
+                   1.0, -1.0)
+    f = jax.jit(lambda p, x, y: sum_mll(gp, p, x, y))
+    out = float(f(params, x, yb))
+    ref = float(sum_mll(gp_dense, params, x, yb))
+    assert abs(out - ref) < 5e-3 * max(1.0, abs(ref))
