@@ -56,6 +56,25 @@ def _default_prefix() -> str:
     return "filelists/QMUL/images/"
 
 
+# decode cache: every epoch resamples 19 of the same 13x19 grid per person,
+# so a QMUL training run re-decodes each JPEG hundreds of times otherwise.
+# uint8 storage keeps the full 29-person grid ~215 MB. Cap via env.
+_DECODE_CACHE: dict[str, np.ndarray] = {}
+_CACHE_CAP = int(os.environ.get("DKT_QMUL_CACHE_BYTES", 1 << 30))
+_cache_bytes = 0
+
+
+def _load_face(fname: str) -> np.ndarray:
+    global _cache_bytes
+    arr = _DECODE_CACHE.get(fname)
+    if arr is None:
+        arr = np.asarray(load_image(fname), np.uint8)
+        if _cache_bytes + arr.nbytes <= _CACHE_CAP:
+            _DECODE_CACHE[fname] = arr
+            _cache_bytes += arr.nbytes
+    return arr
+
+
 def get_person_at_curve(person: str, curve, prefix: str | None = None):
     """Load one person's images along a trajectory; targets = normalised
     pitch (reference data/qmul_loader.py:22-39). Images are NOT ImageNet-
@@ -68,8 +87,7 @@ def get_person_at_curve(person: str, curve, prefix: str | None = None):
             prefix, person,
             f"{person[:-4]}_{_num_to_str(pitch)}_{_num_to_str(angle)}.jpg",
         )
-        img = load_image(fname)
-        faces.append(np.asarray(img, np.float32) / 255.0)  # HWC in [0,1]
+        faces.append(_load_face(fname).astype(np.float32) / 255.0)
         pitch_norm = 2 * ((pitch - 60) / (120 - 60)) - 1
         targets.append(pitch_norm)
     return np.stack(faces), np.asarray(targets, np.float32)

@@ -20,7 +20,7 @@ TRAIN_RANGE = (-5.0, 5.0)
 SAMPLE_SIZE = 200
 
 
-def parse_args(script: str, default_iters: int):
+def parse_args(script: str, default_iters: int, argv=None):
     p = argparse.ArgumentParser(description=f"sines {script}")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--iterations", default=default_iters, type=int,
@@ -32,7 +32,11 @@ def parse_args(script: str, default_iters: int):
     p.add_argument("--n_test_tasks", default=500, type=int)
     p.add_argument("--n_plots", default=0, type=int,
                    help="save this many uncertainty-band plots")
-    return p.parse_args()
+    p.add_argument("--analysis", default=0, type=int, metavar="N_TASKS",
+                   help="MAML only: average the adaptation curve over "
+                        "N_TASKS tasks and plot sampled-step functions "
+                        "(reference sines/train_MAML.py:206-330)")
+    return p.parse_args(argv)
 
 
 def train_tasks() -> TaskDistribution:

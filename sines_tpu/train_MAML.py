@@ -71,6 +71,31 @@ class SinesMAML:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @partial(jax.jit, static_argnums=(0, 5))
+    def adapt_trajectory(self, params, support, x_query, y_query,
+                         n_steps: int = 10, lr: float = 0.01):
+        """Adaptation analysis (reference train_MAML.py:206-300
+        loss_on_random_task / model_functions_at_training): fresh-SGD
+        finetune on the support, recording the query MSE after EVERY step
+        and the model function after each step. Returns
+        (query_mses [n_steps+1], preds [n_steps+1, M])."""
+        xs, ys = support
+
+        def query_state(p):
+            pred = self.net.apply(p, x_query)
+            return jnp.mean((pred - y_query) ** 2), pred
+
+        def one(p, _):
+            g = jax.grad(self.task_loss)(p, xs, ys)
+            p = jax.tree.map(lambda w, gi: w - lr * gi, p, g)
+            mse, pred = query_state(p)
+            return p, (mse, pred)
+
+        mse0, pred0 = query_state(params)
+        _, (mses, preds) = jax.lax.scan(one, params, None, length=n_steps)
+        return (jnp.concatenate([mse0[None], mses]),
+                jnp.concatenate([pred0[None], preds]))
+
     @partial(jax.jit, static_argnums=(0, 4))
     def adapt_predict(self, params, support, x_query, n_steps: int = 10,
                       lr: float = 0.01):
@@ -90,8 +115,8 @@ class SinesMAML:
         return self.net.apply(p, x_query)
 
 
-def main():
-    args = common.parse_args("train_MAML", default_iters=10000)
+def main(argv=None):
+    args = common.parse_args("train_MAML", default_iters=10000, argv=argv)
     rng = np.random.RandomState(args.seed)
     tasks = common.train_tasks()
 
@@ -123,6 +148,62 @@ def main():
                                   jnp.asarray(x_all), n_steps=10)
         common.save_uncertainty_plot(i, "MAML", task, xs, ys, x_all, pred,
                                      test_hi=test_hi)
+
+    if args.analysis:
+        analysis(maml, params, rng, tt, args.analysis, test_hi)
+    return params
+
+
+def analysis(maml, params, rng, tt, n_tasks: int, test_hi: float,
+             n_steps: int = 10, out_dir: str = "plots"):
+    """Adaptation-speed analysis (reference sines/train_MAML.py:206-330):
+    the query-MSE learning trajectory averaged over n_tasks random tasks
+    (average_losses) and one task's adapted functions after sampled step
+    counts (plot_sampled_performance)."""
+    curves = []
+    keep = None
+    for i in range(n_tasks):
+        task, xs, ys, xq, yq, x_all, _ = common.sample_eval_task(rng, tt)
+        mses, _ = maml.adapt_trajectory(
+            params, (jnp.asarray(xs), jnp.asarray(ys)),
+            jnp.asarray(xq), jnp.asarray(yq), n_steps=n_steps)
+        curves.append(np.asarray(mses))
+        if keep is None:
+            keep = (task, xs, ys, x_all)
+    curve = np.mean(curves, axis=0)
+    print("MAML adaptation curve (avg query MSE after k steps):")
+    for k, v in enumerate(curve):
+        print(f"  step {k:2d}: {v:.4f}")
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    fig, ax = plt.subplots()
+    ax.plot(range(len(curve)), curve, marker="o")
+    ax.set_xlabel("adaptation steps")
+    ax.set_ylabel("avg query MSE")
+    ax.set_title(f"MAML adaptation over {n_tasks} tasks")
+    fig.savefig(os.path.join(out_dir, "MAML_adaptation_curve.png"), dpi=120)
+    plt.close(fig)
+
+    task, xs, ys, x_all = keep
+    _, preds = maml.adapt_trajectory(
+        params, (jnp.asarray(xs), jnp.asarray(ys)), jnp.asarray(x_all),
+        jnp.zeros(len(x_all)), n_steps=n_steps)
+    fig, ax = plt.subplots()
+    grid = np.linspace(-5.0, test_hi, 400)
+    ax.plot(grid, [task.true_function(x) for x in grid], color="blue",
+            label="true")
+    for k in (0, 1, n_steps):
+        ax.plot(x_all, np.asarray(preds[k]), alpha=0.7, label=f"{k} steps")
+    ax.scatter(xs, ys, color="black", marker="*", zorder=5, label="support")
+    ax.legend()
+    fig.savefig(os.path.join(out_dir, "MAML_sampled_steps.png"), dpi=120)
+    plt.close(fig)
+    return curve
 
 
 if __name__ == "__main__":

@@ -52,6 +52,7 @@ def main(argv=None):
     print("-------------------")
     print(f"Average MSE: {mses.mean():.4f} +- {mses.std():.4f}")
     print("-------------------")
+    return float(mses.mean()), float(mses.std())
 
 
 if __name__ == "__main__":
