@@ -98,6 +98,21 @@ class DeviceDataset:
         self.table = jax.device_put(table)          # [n_class, width] i32
         self.counts = jax.device_put(counts)        # [n_class] i32
         self.nbytes = int(host.nbytes)
+        self._episode_sharding = None
+
+    def shard(self, mesh) -> "DeviceDataset":
+        """Multi-device placement: replicate the staged split over the mesh
+        (gathers stay chip-local) and emit episode batches sharded over the
+        data axis, ready for make_sharded_train_step / make_sharded_eval
+        (parallel/mesh.py)."""
+        from ..parallel.mesh import episode_sharding, replicated
+
+        rep = replicated(mesh)
+        self.images = jax.device_put(self.images, rep)
+        self.table = jax.device_put(self.table, rep)
+        self.counts = jax.device_put(self.counts, rep)
+        self._episode_sharding = episode_sharding(mesh)
+        return self
 
     # ---------------------------------------------------------------- sample
     def sample_episode_ids(self, key, n_way: int, k: int, batch: int):
@@ -108,9 +123,13 @@ class DeviceDataset:
 
     def sample_episodes(self, key, n_way: int, n_support: int, n_query: int,
                         batch: int = 1):
-        """[batch, n_way, S+Q, H, W, 3] uint8, entirely on device."""
+        """[batch, n_way, S+Q, H, W, 3] uint8, entirely on device(s)."""
         ids = self.sample_episode_ids(key, n_way, n_support + n_query, batch)
-        return jnp.take(self.images, ids, axis=0)
+        x = jnp.take(self.images, ids, axis=0)
+        if self._episode_sharding is not None and batch % len(
+                self._episode_sharding.mesh.devices.flat) == 0:
+            x = jax.device_put(x, self._episode_sharding)
+        return x
 
     # ---------------------------------------------------------------- loader
     def epoch(self, seed: int, n_way: int, n_support: int, n_query: int,

@@ -99,6 +99,33 @@ def default_stop_epoch(params) -> int:
     return 600
 
 
+def resolve_mesh(params, model, episode_batch: int):
+    """Episode-parallel mesh resolution for the CLIs (parallel/mesh.py).
+
+    --n_devices N forces an N-device mesh; default (None) auto-enables over
+    ALL local devices when there are several, the method exposes the
+    batched-loss surface the sharded step needs, and the episode batch
+    divides the device count. Returns a Mesh or None (single-device path).
+    """
+    import jax as _jax
+
+    n_req = getattr(params, "n_devices", None)
+    n = n_req if n_req else _jax.device_count()
+    if n <= 1:
+        return None
+    supported = hasattr(model, "batch_loss_train") and hasattr(model, "tx")
+    if not supported or episode_batch % n != 0:
+        if n_req:
+            raise ValueError(
+                f"--n_devices={n_req} needs a method with batch_loss_train "
+                f"and --episode_batch divisible by it "
+                f"(episode_batch={episode_batch})")
+        return None
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(n)
+
+
 def use_device_data(params, data_file: str, image_size: int,
                     canvas: bool = False) -> bool:
     """Resolve the --device_data tri-state: stage the split in HBM when

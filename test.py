@@ -123,11 +123,17 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
                    and (getattr(params_cli, "laplace", False)
                         or params_cli.adaptation))
         episode_batch = max(params_cli.episode_batch, 1)
+        # episode-parallel eval: the 600-episode protocol sharded over the
+        # mesh (standard head only; the special heads stay single-program)
+        mesh = (None if special
+                else factory.resolve_mesh(params_cli, model, episode_batch))
         if factory.use_device_data(params_cli, novel_file, image_size):
             # TPU-native fast path: the whole novel split lives in HBM and
             # episodes are sampled + gathered on device — zero host->device
             # transfers inside the 600-episode loop (data/device_dataset.py)
             dds = cached_dataset(novel_file, image_size, verbose=True)
+            if mesh is not None:
+                dds.shard(mesh)
             loader = dds.epoch(seed, n_way, n_support, n_query,
                                n_episodes=params_cli.n_iter,
                                episode_batch=episode_batch)
@@ -136,6 +142,17 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
                 novel_file, image_size, n_way, n_support, n_query,
                 n_episodes=params_cli.n_iter, episode_batch=episode_batch,
                 aug=False, seed=seed, output_uint8=True)
+        if mesh is not None:
+            from deep_kernel_transfer_tpu.parallel.mesh import (
+                make_sharded_eval,
+                replicate_tree,
+                shard_episode_batch,
+            )
+
+            print(f"episode-parallel mesh: {mesh.shape}")
+            sharded_eval = make_sharded_eval(model, mesh)
+            params = replicate_tree(params, mesh)
+
         accs = []
         for xb in loader:
             xb = jnp.asarray(xb)
@@ -147,6 +164,14 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
                 else:
                     batch_acc = model.batch_correct_adapted(params, xb,
                                                             steps=100)
+            elif mesh is not None:
+                b = xb.shape[0]
+                if b % mesh.size != 0:  # wrap-pad, trim after
+                    target = -(-b // mesh.size) * mesh.size
+                    reps = -(-target // b)
+                    xb = jnp.concatenate([xb] * reps)[:target]
+                batch_acc = sharded_eval(
+                    params, shard_episode_batch(xb, mesh))[:b]
             else:
                 batch_acc = model.batch_correct(params, xb)
             accs.extend(np.asarray(batch_acc))

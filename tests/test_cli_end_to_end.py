@@ -191,3 +191,18 @@ def test_device_data_train_aug_and_eval_toggle(dataset_cwd):
     test_cli.main(cub + ["--method=DKT", "--n_iter=2", "--repeat=1",
                          "--device_data=off"])
     assert "CUB-Conv4-DKT-aug" in open("record/results.txt").read()
+
+
+def test_episode_parallel_mesh_cli(dataset_cwd):
+    """--n_devices episode-parallel path end-to-end on the virtual 8-CPU
+    mesh: sharded train step (device-data sampler sharded over the mesh),
+    sharded 8-episode eval batches with a wrap-padded final partial batch
+    (10 % 8 != 0)."""
+    train_cli.main(COMMON + ["--method=DKT", "--stop_epoch=1",
+                             "--n_train_episodes=8", "--episode_batch=8",
+                             "--n_devices=8"])
+    ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
+    assert os.path.isfile(ckpt)
+    test_cli.main(COMMON + ["--method=DKT", "--n_iter=10", "--repeat=1",
+                            "--episode_batch=8", "--n_devices=8"])
+    assert "omniglot-Conv4S-DKT" in open("record/results.txt").read()

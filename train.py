@@ -36,10 +36,14 @@ def _set_seed(seed: int) -> None:
     random.seed(seed)
 
 
-def _val_acc(model, params, val_loader) -> float:
+def _val_acc(model, params, val_loader, eval_fn=None) -> float:
     accs = []
     for xb in val_loader:  # vmapped per-episode accuracy, one dispatch/batch
-        accs.extend(np.asarray(model.batch_correct(params, jnp.asarray(xb))))
+        if eval_fn is not None:  # episode-sharded over the mesh
+            accs.extend(eval_fn(params, jnp.asarray(xb)))
+        else:
+            accs.extend(np.asarray(model.batch_correct(params,
+                                                       jnp.asarray(xb))))
     return float(np.mean(accs)) if accs else 0.0
 
 
@@ -110,6 +114,7 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
 
     n_episodes = getattr(params_cli, "n_train_episodes", 100)
     n_batches = -(-n_episodes // episode_batch)
+    mesh = factory.resolve_mesh(params_cli, model, episode_batch)
     use_dd = factory.use_device_data(params_cli, base_file, image_size,
                                      canvas=params_cli.train_aug)
     if use_dd:
@@ -120,6 +125,9 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         base_ds = cached_dataset(base_file, image_size,
                                  canvas=params_cli.train_aug, verbose=True)
         val_ds = cached_dataset(val_file, image_size, verbose=True)
+        if mesh is not None:
+            base_ds.shard(mesh)
+            val_ds.shard(mesh)
         aug_to = image_size if params_cli.train_aug else None
 
         def base_iter(epoch):
@@ -150,6 +158,46 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
     example = jnp.zeros((n_way, n_support + n_query, image_size, image_size, 3),
                         jnp.float32)
     state = model.init(jax.random.PRNGKey(params_cli.seed), example)
+
+    if mesh is not None:
+        # episode-parallel training: params replicated, episode axis sharded,
+        # XLA's psum over ICI does the gradient all-reduce
+        # (parallel/mesh.py; validated for parity in tests/test_parallel.py)
+        from deep_kernel_transfer_tpu.parallel.mesh import (
+            make_sharded_eval,
+            make_sharded_train_step,
+            replicate_tree,
+            shard_episode_batch,
+        )
+
+        print(f"episode-parallel mesh: {mesh.shape}")
+        sharded_step = make_sharded_train_step(model, mesh)
+        sharded_eval = make_sharded_eval(model, mesh)
+
+        def _mesh_batch(xb):
+            """Pad a final partial batch up to a device-divisible size by
+            wrapping episodes (train: the duplicates add negligible gradient
+            weight once per epoch; eval: the caller trims the extras)."""
+            b = xb.shape[0]
+            if b % mesh.size != 0:
+                target = -(-b // mesh.size) * mesh.size
+                reps = -(-target // b)
+                xb = jnp.concatenate([jnp.asarray(xb)] * reps)[:target]
+            return shard_episode_batch(xb, mesh)
+
+        def train_step(state, xb):
+            return sharded_step(state, _mesh_batch(xb))
+
+        def eval_batch(params, xb):
+            b = xb.shape[0]
+            return np.asarray(sharded_eval(params, _mesh_batch(xb)))[:b]
+
+        state = replicate_tree(state, mesh)
+        maybe_replicate = lambda s: replicate_tree(s, mesh)
+    else:
+        train_step = model.train_step
+        eval_batch = None
+        maybe_replicate = lambda s: s
 
     start_epoch = params_cli.start_epoch
     if params_cli.resume:
@@ -186,20 +234,26 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
                        if profile_dir and epoch == start_epoch
                        else contextlib.nullcontext())
         if isinstance(model, DKT):
-            state = model.reset_opt_state(state)  # reference DKT.py:114-115
-        avg_loss, i = 0.0, 0
+            # reference DKT.py:114-115; fresh opt state re-replicated on mesh
+            state = maybe_replicate(model.reset_opt_state(state))
+        # metrics stay ON DEVICE between print_freq boundaries: float()-ing
+        # every step would force a host sync per episode batch and serialise
+        # the dispatch pipeline (the async dispatch queue is what overlaps
+        # host episode prep with TPU compute)
+        losses, i = [], 0
         extra = {}
         print_freq = 10
         with profile_ctx:
             for xb in base_iter(epoch):
                 xb = jnp.asarray(xb)
-                state, m = model.train_step(state, xb)
-                avg_loss += float(m["loss"])
+                state, m = train_step(state, xb)
+                losses.append(m["loss"])
                 i += 1
-                extra = {k: float(v) for k, v in m.items() if k != "loss"}
                 if i % print_freq == 0:
+                    extra = {k: float(v) for k, v in m.items() if k != "loss"}
+                    avg_loss = float(jnp.mean(jnp.stack(losses)))
                     line = (f"Epoch {epoch} | Batch {i}/{n_batches} | "
-                            f"Loss {avg_loss / i:.6f}")
+                            f"Loss {avg_loss:.6f}")
                     if isinstance(model, DKT):
                         # GP support/query accuracy + z_support histogram
                         # every print_freq (reference methods/DKT.py:167-196
@@ -221,9 +275,11 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
                     print(line)
         if profile_dir and epoch == start_epoch:
             print(f"profile trace written to {profile_dir}")
-        acc = _val_acc(model, state.params, val_iter(epoch))
+        epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        acc = _val_acc(model, state.params, val_iter(epoch),
+                       eval_fn=eval_batch)
         print(f"Epoch {epoch} | Val acc {acc:.2f}%")
-        logger.log_scalars(epoch, loss=avg_loss / max(i, 1),
+        logger.log_scalars(epoch, loss=epoch_loss,
                            test_accuracy=acc, **extra)
         if acc > max_acc:  # reference train.py:57-60
             max_acc = acc
