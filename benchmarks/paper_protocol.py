@@ -114,11 +114,12 @@ def main():
                               "--n_test_epochs=10", "--n_support=5"]
                              + (["--spectral"] if args.spectral else []))
 
+    kernel = "spectral" if args.spectral else "rbf"
     with open(report_path) as f:
         report = json.load(f)
-    report["qmul_synthetic_dkt_mse"] = round(mse, 4)
-    report["qmul_synthetic_dkt_mse_std"] = round(std, 4)
-    report["qmul_synthetic_train_s"] = round(train_s, 1)
+    report[f"qmul_synthetic_dkt_{kernel}_mse"] = round(mse, 4)
+    report[f"qmul_synthetic_dkt_{kernel}_mse_std"] = round(std, 4)
+    report[f"qmul_synthetic_{kernel}_train_s"] = round(train_s, 1)
     report["qmul_paper_target_real_data_mse"] = 0.10  # BASELINE.md (real QMUL)
     with open(report_path, "w") as f:
         json.dump(report, f, indent=2)
