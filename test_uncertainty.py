@@ -51,10 +51,18 @@ def get_logits_targets_images(params_cli, model, params, seed: int):
     image_size = factory.resolve_image_size(params_cli)
     novel_file = factory.resolve_data_files(params_cli,
                                             split_for_test=params_cli.split)
-    loader = EpisodicDataLoader(
-        novel_file, image_size, n_way, n_support, n_query,
-        n_episodes=params_cli.n_iter, episode_batch=1, aug=False, seed=seed,
-        output_uint8=True)
+    if factory.use_device_data(params_cli, novel_file, image_size):
+        # HBM-resident sampling, same as test.py (data/device_dataset.py)
+        from deep_kernel_transfer_tpu.data.device_dataset import cached_dataset
+
+        loader = cached_dataset(novel_file, image_size).epoch(
+            seed, n_way, n_support, n_query, n_episodes=params_cli.n_iter,
+            episode_batch=1)
+    else:
+        loader = EpisodicDataLoader(
+            novel_file, image_size, n_way, n_support, n_query,
+            n_episodes=params_cli.n_iter, episode_batch=1, aug=False,
+            seed=seed, output_uint8=True)
     logits, targets = [], []
     y = np.asarray(episode_labels(n_way, n_query))
     for xb in loader:
