@@ -62,12 +62,14 @@ class DeviceDataset:
         # decode each unique path once (classes can share images in
         # principle; filelists in practice don't, but dedup is free)
         paths: list[str] = []
+        labels: list[int] = []
         path_id: dict[str, int] = {}
         for c in classes:
             for p in sub[c]:
                 if p not in path_id:
                     path_id[p] = len(paths)
                     paths.append(p)
+                    labels.append(c)
 
         if canvas:
             size = int(image_size * 1.15)
@@ -94,6 +96,7 @@ class DeviceDataset:
         self.canvas = canvas
         self.n_class = len(classes)
         self.class_labels = np.asarray(classes, np.int32)
+        self.image_labels = np.asarray(labels, np.int32)  # staged-order labels
         self.images = jax.device_put(host)          # [n_img, H, W, 3] u8
         self.table = jax.device_put(table)          # [n_class, width] i32
         self.counts = jax.device_put(counts)        # [n_class] i32

@@ -73,16 +73,38 @@ def main(argv=None):
 
     # eval-mode BN: running statistics -> deterministic per-image features
     embed = jax.jit(lambda x: backbone.apply(bvars, x, train=False))
-    loader = SimpleDataLoader(split_file, image_size, batch_size=64,
-                              aug=False, output_uint8=True)
-    feats, labels = [], []
-    for i, (x, y) in enumerate(loader):
-        feats.append(np.asarray(embed(jnp.asarray(x))))
-        labels.append(y)
-        if i % 10 == 0:
-            print(f"{i}/{len(loader)}")
-    feats = np.concatenate(feats)
-    labels = np.concatenate(labels)
+    if factory.use_device_data(params_cli, split_file, image_size):
+        # TPU-first path: stage the whole split in HBM once, embed
+        # fixed-shape on-device slices — the only tunnel traffic is the
+        # one-time uint8 staging plus the (much smaller) feature readback.
+        # Pixels are bit-identical to the streaming path (same
+        # TransformPipeline decodes them; see data/device_dataset.py).
+        from deep_kernel_transfer_tpu.data.device_dataset import cached_dataset
+
+        ds = cached_dataset(split_file, image_size, verbose=True)
+        n, bs = ds.images.shape[0], 64
+        feats = []
+        for i in range(0, n, bs):
+            # fixed-shape on-device gather; the tail clamps to the last
+            # image and is trimmed after the trunk
+            idx = jnp.clip(jnp.arange(i, i + bs), 0, n - 1)
+            x = jnp.take(ds.images, idx, axis=0)
+            feats.append(np.asarray(embed(x))[: min(bs, n - i)])
+            if (i // bs) % 10 == 0:
+                print(f"{i // bs}/{-(-n // bs)}")
+        feats = np.concatenate(feats)
+        labels = ds.image_labels
+    else:
+        loader = SimpleDataLoader(split_file, image_size, batch_size=64,
+                                  aug=False, output_uint8=True)
+        feats, labels = [], []
+        for i, (x, y) in enumerate(loader):
+            feats.append(np.asarray(embed(jnp.asarray(x))))
+            labels.append(y)
+            if i % 10 == 0:
+                print(f"{i}/{len(loader)}")
+        feats = np.concatenate(feats)
+        labels = np.concatenate(labels)
 
     out = feature_file_path(params_cli)
     os.makedirs(os.path.dirname(out), exist_ok=True)

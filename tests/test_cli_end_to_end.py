@@ -85,6 +85,32 @@ def test_train_save_features_and_test_protonet(dataset_cwd):
     assert "omniglot-Conv4S-protonet" in txt
 
 
+def test_save_features_device_path_parity(dataset_cwd):
+    """save_features --device_data on (HBM-staged split, on-device slices)
+    vs off (streaming host loader) write the SAME feature multiset: pixels
+    come from the same TransformPipeline and eval-mode BN is deterministic,
+    so only the row order (staged class-major vs loader order) may differ."""
+    import save_features as sf_cli
+    from deep_kernel_transfer_tpu.data.feature_cache import init_loader
+
+    ckpt = "save/checkpoints/omniglot/Conv4S_protonet_3way_2shot/best_model.tar"
+    assert os.path.isfile(ckpt), "run order: protonet train must come first"
+    feat = "save/features/omniglot/Conv4S_protonet_3way_2shot/novel.hdf5"
+
+    sf_cli.main(COMMON + ["--method=protonet", "--split=novel",
+                          "--device_data=on"])
+    by_class_on = init_loader(feat)
+    sf_cli.main(COMMON + ["--method=protonet", "--split=novel",
+                          "--device_data=off"])
+    by_class_off = init_loader(feat)
+
+    assert sorted(by_class_on) == sorted(by_class_off)
+    for cl in by_class_on:
+        a = np.sort(np.stack(by_class_on[cl]), axis=0)
+        b = np.sort(np.stack(by_class_off[cl]), axis=0)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_dkt_laplace_and_adaptation_heads(dataset_cwd):
     """--laplace (Laplace GPC head) and --adaptation (GP hyperparameter
     finetune) test-time variants over the trained DKT checkpoint."""
