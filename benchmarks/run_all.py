@@ -107,9 +107,12 @@ def bench_device_data(tmp="/tmp/_bench_dds"):
 
     t0 = time.perf_counter()
     ds = DeviceDataset(jf, 84)
+    _sync(jnp.sum(ds.images[0, 0, 0]))  # staged split resident on device
+    stage_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     x = ds.sample_episodes(jax.random.PRNGKey(0), 5, 5, 15, batch=16)
     _sync(x)
-    stage_s = time.perf_counter() - t0
+    sampler_compile_s = time.perf_counter() - t0
 
     model = DKT(Conv4(), n_way=5, n_support=5, kernel_type="bncossim")
     state = model.init(jax.random.PRNGKey(0),
@@ -126,8 +129,17 @@ def bench_device_data(tmp="/tmp/_bench_dds"):
     t0 = time.perf_counter()
     run()
     dt = time.perf_counter() - t0
+    # end-to-end incl. the one-time staging cost, amortised over the
+    # reference's protocols: one 600-episode run (test.py --repeat=1) and
+    # the default 5-seed repeat (3000 episodes, split staged once via
+    # cached_dataset)
+    e2e_600 = 600 / (stage_s + dt)
+    e2e_3000 = 3000 / (stage_s + 5 * dt)
     return {"device_data_staging_s": round(stage_s, 2),
-            "dkt_eval_eps_per_sec_device_resident": round(600 / dt, 1)}
+            "device_data_sampler_compile_s": round(sampler_compile_s, 2),
+            "dkt_eval_eps_per_sec_device_resident": round(600 / dt, 1),
+            "dkt_eval_eps_per_sec_incl_staging_600ep": round(e2e_600, 1),
+            "dkt_eval_eps_per_sec_incl_staging_3000ep": round(e2e_3000, 1)}
 
 
 def bench_gp_engine():
@@ -286,6 +298,7 @@ def bench_kernels():
 
 
 def main():
+    _sync(jnp.zeros(()) + 1)  # backend init must land outside every timer
     report = {"backend": jax.default_backend(),
               "device_count": jax.device_count(),
               "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
