@@ -75,8 +75,13 @@ class DeviceDataset:
             size = int(image_size * 1.15)
             host = np.stack([_load_canvas(p, size) for p in paths])
         else:
+            # chunked threaded batch decode (native C++ pool when built);
+            # chunking bounds the float32 intermediate to ~100 MB
             tp = TransformPipeline(image_size, aug=False, output_uint8=True)
-            host = np.stack([tp.load(p) for p in paths])
+            host = np.empty((len(paths), image_size, image_size, 3), np.uint8)
+            chunk = 1024
+            for i in range(0, len(paths), chunk):
+                host[i:i + chunk] = tp.load_batch(paths[i:i + chunk])
         if verbose:
             print(f"[device_data] staged {len(paths)} images "
                   f"({host.nbytes / 1e6:.1f} MB uint8) -> device")

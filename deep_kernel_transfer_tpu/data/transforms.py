@@ -159,6 +159,25 @@ class TransformPipeline:
         except IOError:
             return self(load_image(path))  # unsupported format -> PIL
 
+    def load_batch(self, paths: list[str]) -> np.ndarray:
+        """Decode + transform many files: [n, size, size, 3].
+
+        The eval pipeline goes through the native threaded batch entry
+        (ONE C call for the whole list — multi-core hosts decode in
+        parallel); aug mode stays per-image because its random parameters
+        come from the Python RNG. Falls back per-image on unsupported
+        formats. Output matches a `load` loop exactly."""
+        if self.use_native and not self.aug and paths:
+            from .. import native
+
+            try:
+                arr = native.load_eval_batch(paths, self.image_size,
+                                             self.normalize)
+                return self._finish(arr)
+            except IOError:
+                pass  # e.g. a non-JPEG/PNG in the list -> per-image below
+        return np.stack([self.load(p) for p in paths])
+
     def _finish(self, arr: np.ndarray) -> np.ndarray:
         if self.output_uint8:  # native emits [0,1] f32 when normalize=False
             return np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)

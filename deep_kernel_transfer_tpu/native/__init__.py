@@ -25,8 +25,8 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB_PATH,
-           _SRC, "-ljpeg", "-lpng"]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+           "-o", _LIB_PATH, _SRC, "-ljpeg", "-lpng"]
     try:
         result = subprocess.run(cmd, capture_output=True, text=True,
                                 timeout=120)
@@ -67,6 +67,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                      ctypes.c_float, ctypes.c_float,
                                      ctypes.c_float, ctypes.c_int, fp]
         lib.dkt_load_aug.restype = ctypes.c_int
+        lib.dkt_load_eval_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, fp]
+        lib.dkt_load_eval_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -93,6 +97,26 @@ def load_eval(path: str, size: int, normalize: bool = True) -> np.ndarray:
                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if rc:
         raise IOError(f"native decode failed: {path}")
+    return out
+
+
+def load_eval_batch(paths: list[str], size: int, normalize: bool = True,
+                    n_threads: int = 0) -> np.ndarray:
+    """Threaded batch of `load_eval`: [n, size, size, 3] float32.
+
+    n_threads <= 0 uses hardware_concurrency; the C++ pool shares nothing
+    but an atomic work counter, so results are deterministic and identical
+    to a per-image loop regardless of thread count."""
+    lib = _load()
+    assert lib is not None
+    n = len(paths)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    out = np.empty((n, size, size, 3), np.float32)
+    rc = lib.dkt_load_eval_batch(
+        arr, n, size, int(normalize), int(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc:
+        raise IOError(f"native decode failed: {paths[rc - 1]}")
     return out
 
 

@@ -13,6 +13,7 @@
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <csetjmp>
 #include <cstddef>
@@ -20,6 +21,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 // jpeglib.h requires stdio/stddef types to be declared first
@@ -335,6 +337,40 @@ int dkt_load_aug(const char* path, int size, int normalize, int crop_left,
   jitter(&resized, size * size, brightness, contrast, color);
   finalize(resized, size * size, normalize, flip, size, out);
   return 0;
+}
+
+// Threaded batch eval decode: n images into out [n, size, size, 3] f32.
+// A work-stealing counter feeds a pool of n_threads workers (<= 0 picks
+// hardware_concurrency), so multi-core TPU hosts decode a whole split in
+// parallel — the batch analogue of the reference's 12 DataLoader workers
+// (reference data/datamgr.py:82). Each image is fully independent;
+// decode state is per-call, so workers share nothing but the counter.
+// Returns 0 on success, or the 1-based index of the first failed image.
+int dkt_load_eval_batch(const char** paths, int n, int size, int normalize,
+                        int n_threads, float* out) {
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+  const size_t stride = size_t(size) * size * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n || err.load(std::memory_order_relaxed)) return;
+      if (dkt_load_eval(paths[i], size, normalize, out + stride * i)) {
+        int expected = 0;
+        err.compare_exchange_strong(expected, i + 1);
+        return;
+      }
+    }
+  };
+  int t = n_threads > 0 ? n_threads
+                        : int(std::thread::hardware_concurrency());
+  t = std::max(1, std::min(t, n));
+  std::vector<std::thread> pool;
+  pool.reserve(t - 1);
+  for (int k = 1; k < t; ++k) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return err.load();
 }
 
 }  // extern "C"

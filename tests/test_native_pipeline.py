@@ -87,3 +87,26 @@ def test_pipeline_uses_native_and_matches(images):
     tp_aug = TransformPipeline(84, aug=True, use_native=True, seed=3)
     out = tp_aug.load(jpg)
     assert out.shape == (84, 84, 3) and np.isfinite(out).all()
+
+
+def test_eval_batch_matches_per_image(images):
+    """dkt_load_eval_batch == a load_eval loop, any thread count, and the
+    TransformPipeline.load_batch wrapper preserves the uint8 contract."""
+    jpg, png, gray = images
+    paths = [jpg, png, gray, jpg, png, gray, jpg]
+    ref = np.stack([native.load_eval(p, 84) for p in paths])
+    for n_threads in (1, 4, 0):
+        out = native.load_eval_batch(paths, 84, n_threads=n_threads)
+        np.testing.assert_array_equal(out, ref)
+
+    tp = TransformPipeline(84, aug=False, output_uint8=True)
+    batch = tp.load_batch(paths)
+    assert batch.dtype == np.uint8
+    loop = np.stack([tp.load(p) for p in paths])
+    np.testing.assert_array_equal(batch, loop)
+
+
+def test_eval_batch_reports_failed_path(images, tmp_path):
+    bad = str(tmp_path / "nope.jpg")
+    with pytest.raises(IOError, match="nope"):
+        native.load_eval_batch([images[0], bad, images[1]], 84)
