@@ -24,6 +24,7 @@ from deep_kernel_transfer_tpu.utils.checkpoint import (
     get_best_file,
     load_backbone_from,
 )
+from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
 
 
 def feature_file_path(params_cli) -> str:
@@ -39,6 +40,7 @@ def feature_file_path(params_cli) -> str:
 
 
 def main(argv=None):
+    enable_persistent_jit_cache()  # repeat CLI runs skip XLA recompiles
     params_cli = parse_args("save_features", argv)
     split_file = factory.resolve_data_files(params_cli,
                                             split_for_test=params_cli.split)

@@ -38,6 +38,7 @@ from deep_kernel_transfer_tpu.utils.checkpoint import (
     get_best_file,
     load_checkpoint,
 )
+from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
 
 
 def _set_seed(seed: int) -> None:
@@ -206,6 +207,7 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
 
 
 def main(argv=None):
+    enable_persistent_jit_cache()  # repeat CLI runs skip XLA recompiles
     params_cli = parse_args("test", argv)
     repeat = params_cli.repeat
     accs, cis = [], []

@@ -17,10 +17,12 @@ from deep_kernel_transfer_tpu import factory
 from deep_kernel_transfer_tpu.data import get_batch, test_people
 from deep_kernel_transfer_tpu.io_utils import parse_args_regression
 from deep_kernel_transfer_tpu.utils.checkpoint import load_checkpoint
+from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
 from train_regression import build_regression_method
 
 
 def main(argv=None):
+    enable_persistent_jit_cache()  # repeat CLI runs skip XLA recompiles
     params_cli = parse_args_regression("test_regression", argv)
     np.random.seed(params_cli.seed)
     rng = np.random.RandomState(params_cli.seed)

@@ -38,6 +38,7 @@ from deep_kernel_transfer_tpu.utils.checkpoint import (
     load_checkpoint,
 )
 from deep_kernel_transfer_tpu.utils.metrics import calibrate_temperature, ece
+from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
 
 FROM_IMAGES = ("DKT", "maml", "maml_approx")
 
@@ -153,6 +154,7 @@ def make_collector(params_cli):
 
 
 def main(argv=None):
+    enable_persistent_jit_cache()  # repeat CLI runs skip XLA recompiles
     params_cli = parse_args("test", argv)
     collect = make_collector(params_cli)
     one_vs_rest = params_cli.method == "DKT"

@@ -26,6 +26,9 @@ jax.config.update("jax_threefry_partitionable", True)
 # Persistent compilation cache: the suite is compile-bound on the virtual
 # CPU mesh (every jit variant recompiles from scratch otherwise).
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# keep the CLI mains' own cache enabling (utils/jit_cache.py) pointed at
+# the same directory instead of ~/.cache, so e2e tests stay warm
+os.environ["DKT_JIT_CACHE"] = _cache_dir
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -28,6 +28,7 @@ from deep_kernel_transfer_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from deep_kernel_transfer_tpu.utils.logger import MetricsLogger
+from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
 
 
 def _set_seed(seed: int) -> None:
@@ -294,6 +295,7 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
 
 
 def main(argv=None):
+    enable_persistent_jit_cache()  # repeat CLI runs skip XLA recompiles
     params_cli = parse_args("train", argv)
     _set_seed(params_cli.seed)
 

@@ -20,6 +20,7 @@ from deep_kernel_transfer_tpu.io_utils import parse_args_regression
 from deep_kernel_transfer_tpu.methods import DKTRegression, FeatureTransfer
 from deep_kernel_transfer_tpu.models.backbones import feat_dims, model_dict
 from deep_kernel_transfer_tpu.utils.checkpoint import save_checkpoint
+from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
 
 
 def build_regression_method(params_cli):
@@ -34,6 +35,7 @@ def build_regression_method(params_cli):
 
 
 def main(argv=None):
+    enable_persistent_jit_cache()  # repeat CLI runs skip XLA recompiles
     params_cli = parse_args_regression("train_regression", argv)
     np.random.seed(params_cli.seed)
 
