@@ -93,3 +93,31 @@ def test_dbindex_and_sparsity():
     # reference utils.py:26-31 counts nonzero entries
     feats = {0: [np.array([0.0, 1.0, 0.0, 2.0])]}
     assert abs(sparsity(feats) - 2.0) < 1e-6
+
+
+def test_persistent_jit_cache_helper(monkeypatch, tmp_path):
+    """utils/jit_cache: opt-out honoured; an already-configured cache dir
+    (the harness's) wins; DKT_JIT_CACHE picks the dir otherwise."""
+    import jax
+
+    from deep_kernel_transfer_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache,
+    )
+
+    monkeypatch.setenv("DKT_NO_JIT_CACHE", "1")
+    assert enable_persistent_jit_cache() is None
+
+    monkeypatch.delenv("DKT_NO_JIT_CACHE")
+    # conftest configured tests/.jax_cache -> helper must NOT move it
+    configured = jax.config.jax_compilation_cache_dir
+    assert configured
+    assert enable_persistent_jit_cache() == configured
+
+    target = str(tmp_path / "jitcache")
+    monkeypatch.setenv("DKT_JIT_CACHE", target)
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        assert enable_persistent_jit_cache() == target
+        assert jax.config.jax_compilation_cache_dir == target
+    finally:
+        jax.config.update("jax_compilation_cache_dir", configured)
