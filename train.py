@@ -43,9 +43,15 @@ def _val_acc(model, params, val_loader, eval_fn=None) -> float:
         if eval_fn is not None:  # episode-sharded over the mesh
             accs.extend(eval_fn(params, jnp.asarray(xb)))
         else:
-            accs.extend(np.asarray(model.batch_correct(params,
-                                                       jnp.asarray(xb))))
-    return float(np.mean(accs)) if accs else 0.0
+            # keep the per-batch results ON DEVICE: a sync here would
+            # serialise dispatch with compute (measured 3x slower); all
+            # batches read back together below
+            accs.append(model.batch_correct(params, jnp.asarray(xb)))
+    if not accs:
+        return 0.0
+    if eval_fn is not None:
+        return float(np.mean(accs))
+    return float(np.mean(np.concatenate([np.asarray(a) for a in accs])))
 
 
 def train_baseline(params_cli, base_file, image_size, stop_epoch, ckpt_dir):
