@@ -142,6 +142,46 @@ def bench_device_data(tmp="/tmp/_bench_dds"):
             "dkt_eval_eps_per_sec_incl_staging_3000ep": round(e2e_3000, 1)}
 
 
+def bench_methods():
+    """Train-step throughput across the non-DKT method zoo at the flagship
+    episode geometry (5-way 5-shot 15-query, 84px, Conv4-class trunks,
+    episode batch 8) — the framework is fast method-wide, not just on DKT."""
+    from deep_kernel_transfer_tpu.methods import (
+        MAML,
+        MatchingNet,
+        ProtoNet,
+        RelationNet,
+    )
+    from deep_kernel_transfer_tpu.models.backbones import (
+        Conv4,
+        Conv4NP,
+        np_feat_shapes,
+    )
+
+    x1 = jnp.zeros((5, 20, 84, 84, 3), jnp.float32)
+    models = {
+        "protonet": ProtoNet(Conv4(), 5, 5),
+        "matchingnet": MatchingNet(Conv4(), 1600, 5, 5),
+        "relationnet": RelationNet(Conv4NP(), np_feat_shapes["Conv4NP"], 5, 5),
+        "maml": MAML(Conv4(), 5, 5, approx=False),
+        "maml_approx": MAML(Conv4(), 5, 5, approx=True),
+    }
+    out = {}
+    for name, model in models.items():
+        B = model.n_task if isinstance(model, MAML) else 8
+        state = model.init(jax.random.PRNGKey(0), x1)
+        xb = jax.random.uniform(jax.random.PRNGKey(1), (B,) + x1.shape)
+        holder = {"state": state}
+
+        def step(xb):
+            holder["state"], m = model.train_step(holder["state"], xb)
+            return m
+
+        dt = _time(step, (xb,), iters=10)
+        out[f"{name}_train_eps_per_sec"] = round(B / dt, 1)
+    return out
+
+
 def bench_gp_engine():
     from deep_kernel_transfer_tpu.gp import ExactGP, GaussianLikelihood, make_kernel
     from deep_kernel_transfer_tpu.gp.exact import init_batched, sum_mll
@@ -304,6 +344,7 @@ def main():
               "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
     for name, fn in (("train", bench_train), ("eval", bench_eval),
                      ("device_data", bench_device_data),
+                     ("methods", bench_methods),
                      ("gp", bench_gp_engine), ("woodbury", bench_woodbury),
                      ("host", bench_host_pipeline),
                      ("kernels", bench_kernels)):

@@ -154,6 +154,7 @@ def build_method(params, n_way: int, n_support: int):
     """Method object for classification (reference train.py:115-174)."""
     model_fn = model_dict[params.model]
     method = params.method
+    fdtype = getattr(params, "feature_dtype", "bfloat16")
     if method in ("baseline", "baseline++"):
         # the base-class label ids must fit the classifier head, else labels
         # clip silently (reference train.py:119-123)
@@ -169,11 +170,12 @@ def build_method(params, n_way: int, n_support: int):
         return BaselineTrain(model_fn(), params.num_classes, loss_type="dist")
     if method == "DKT":
         return DKT(model_fn(), n_way, n_support, kernel_type=kernel_type(params),
-                   feature_dtype=getattr(params, "feature_dtype", "bfloat16"))
+                   feature_dtype=fdtype)
     if method == "protonet":
-        return ProtoNet(model_fn(), n_way, n_support)
+        return ProtoNet(model_fn(), n_way, n_support, feature_dtype=fdtype)
     if method == "matchingnet":
-        return MatchingNet(model_fn(), feat_dims[params.model], n_way, n_support)
+        return MatchingNet(model_fn(), feat_dims[params.model], n_way,
+                           n_support, feature_dtype=fdtype)
     if method in ("relationnet", "relationnet_softmax"):
         # relationnet uses the non-pooled trunks (reference train.py:145-151)
         if params.model == "Conv4":
@@ -193,7 +195,8 @@ def build_method(params, n_way: int, n_support: int):
             bb, shape_key = model_dict[params.model](flatten=False), params.model
         feat_shape = np_feat_shapes[shape_key]
         loss_type = "mse" if method == "relationnet" else "softmax"
-        return RelationNet(bb, feat_shape, n_way, n_support, loss_type=loss_type)
+        return RelationNet(bb, feat_shape, n_way, n_support,
+                           loss_type=loss_type, feature_dtype=fdtype)
     if method in ("maml", "maml_approx"):
         kwargs = dict(approx=(method == "maml_approx"))
         if params.dataset in ("omniglot", "cross_char"):

@@ -77,17 +77,36 @@ def ci95(acc_per_episode) -> float:
     return float(1.96 * a.std() / np.sqrt(len(a)))
 
 
-def apply_trunk(module, variables, x: Array, train: bool):
+def apply_trunk(module, variables, x: Array, train: bool, dtype=None):
     """Apply a backbone with reference BatchNorm semantics.
 
     train=True: batch statistics + running-average updates — returns
     (out, batch_stats_updates). train=False: running averages (the
-    reference's model.eval() protocol) — returns (out, None)."""
+    reference's model.eval() protocol) — returns (out, None).
+
+    dtype=bfloat16 runs the trunk on the MXU in bf16 (weights cast on the
+    fly, BN statistics stay f32 — EpisodicBatchNorm keeps its own f32
+    accumulators) and returns f32 features, the same mixed-precision law
+    as DKT's flagship path; uint8 inputs are normalised BEFORE the cast
+    (the cast would otherwise erase the integer marker the trunk's
+    preprocess_input keys on)."""
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            from ..models.backbones import preprocess_input
+
+            x = preprocess_input(x)
+        variables = {**variables, "params": jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            variables["params"])}
+        x = x.astype(dtype)
+        cast_back = lambda z: z.astype(jnp.float32)
+    else:
+        cast_back = lambda z: z
     if train:
         out, mut = module.apply(variables, x, train=True,
                                 mutable=["batch_stats"])
-        return out, mut.get("batch_stats", {})
-    return module.apply(variables, x, train=False), None
+        return cast_back(out), mut.get("batch_stats", {})
+    return cast_back(module.apply(variables, x, train=False)), None
 
 
 def merge_stats(variables, stats):

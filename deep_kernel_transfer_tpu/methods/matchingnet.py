@@ -68,7 +68,10 @@ class GEncoder(nn.Module):
 
 class MatchingNet(EpisodicMethod):
     def __init__(self, backbone: nn.Module, feat_dim: int, n_way: int,
-                 n_support: int, lr: float = 1e-3):
+                 n_support: int, lr: float = 1e-3,
+                 feature_dtype: str = "bfloat16"):
+        # bf16 conv trunk; the bi-LSTM FCE heads and cosine scores stay f32
+        self.feature_dtype = jnp.dtype(feature_dtype)
         self.feature = backbone
         self.feat_dim = feat_dim
         self.n_way = n_way
@@ -91,7 +94,8 @@ class MatchingNet(EpisodicMethod):
     def _logprobs(self, params, x: Array, train: bool = False):
         n_way, n_total = x.shape[0], x.shape[1]
         z, stats = apply_trunk(self.feature, params["feature"],
-                               flatten_episode(x), train)
+                               flatten_episode(x), train,
+                               dtype=self.feature_dtype)
         scores = self.scores_from_features(params, z.reshape(n_way, n_total, -1))
         return scores, stats
 

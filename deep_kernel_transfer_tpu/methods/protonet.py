@@ -18,10 +18,13 @@ Array = jax.Array
 
 class ProtoNet(EpisodicMethod):
     def __init__(self, backbone: nn.Module, n_way: int, n_support: int,
-                 lr: float = 1e-3):
+                 lr: float = 1e-3, feature_dtype: str = "bfloat16"):
         self.feature = backbone
         self.n_way = n_way
         self.n_support = n_support
+        # bf16 trunk on the MXU, f32 distances/scores (same mixed-precision
+        # law as DKT; --feature_dtype float32 for exact-parity arithmetic)
+        self.feature_dtype = jnp.dtype(feature_dtype)
         self.tx = optax.adam(lr)
 
     def init_params(self, key, example_episode):
@@ -30,7 +33,8 @@ class ProtoNet(EpisodicMethod):
     def _embed(self, params, x: Array, train: bool = False):
         n_way, n_total = x.shape[0], x.shape[1]
         z, stats = apply_trunk(self.feature, params["feature"],
-                               flatten_episode(x), train)
+                               flatten_episode(x), train,
+                               dtype=self.feature_dtype)
         return z.reshape(n_way, n_total, -1), stats
 
     def scores_from_features(self, params, z: Array) -> Array:

@@ -68,12 +68,15 @@ class RelationNet(EpisodicMethod):
         n_support: int,
         loss_type: str = "mse",
         lr: float = 1e-3,
+        feature_dtype: str = "bfloat16",
     ):
         self.feature = backbone
         self.feat_shape = tuple(feat_shape)
         self.n_way = n_way
         self.n_support = n_support
         self.loss_type = loss_type
+        # bf16 NP trunk; the relation conv scorer and losses stay f32
+        self.feature_dtype = jnp.dtype(feature_dtype)
         self.relation = RelationModule(self.feat_shape, 8, loss_type)
         self.tx = optax.adam(lr)
 
@@ -90,7 +93,7 @@ class RelationNet(EpisodicMethod):
         """[n_way*Q, n_way] relation scores (reference relationnet.py:24-39)."""
         n_way, n_total = x.shape[0], x.shape[1]
         z, _ = apply_trunk(self.feature, params["feature"], flatten_episode(x),
-                           train=False)
+                           train=False, dtype=self.feature_dtype)
         h, w, c = self.feat_shape
         return self.scores_from_features(params, z.reshape(n_way, n_total, h, w, c))
 
@@ -181,7 +184,8 @@ class RelationNet(EpisodicMethod):
         n_query = n_total - self.n_support
         h, w, c = self.feat_shape
         z, f_stats = apply_trunk(self.feature, params["feature"],
-                                 flatten_episode(x), train=True)
+                                 flatten_episode(x), train=True,
+                                 dtype=self.feature_dtype)
         z = z.reshape(n_way, n_total, h, w, c)
         z_proto = jnp.mean(z[:, :self.n_support], axis=1)
         z_query = z[:, self.n_support:].reshape(-1, h, w, c)
