@@ -353,6 +353,11 @@ def main():
         print(f"[{name}] done in {time.time()-t0:.1f}s")
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "report.json")
+    # MERGE into the existing report: keys written by other benchmarks
+    # (QMUL paper protocol, train_cli_e2e, resnet) must survive an audit
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            report = {**json.load(f), **report}
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
