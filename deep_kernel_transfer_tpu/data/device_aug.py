@@ -31,8 +31,10 @@ import jax.numpy as jnp
 
 from .transforms import JITTER_PARAMS
 
-# PIL ITU-R 601-2 luma transform (Image.convert("L"))
-_LUMA = jnp.array([299.0, 587.0, 114.0]) / 1000.0
+# PIL ITU-R 601-2 luma transform (Image.convert("L")). Kept as a python
+# tuple: a module-level jnp.array would become a leaked tracer if this
+# module is first imported inside a jax trace.
+_LUMA_W = (0.299, 0.587, 0.114)
 
 
 def _sample_crop_boxes(key, batch: int, canvas: int, out_size: int):
@@ -84,10 +86,10 @@ def apply_jitter(img, factors):
         if name == "Brightness":
             degenerate = jnp.zeros_like(img)
         elif name == "Contrast":
-            mean = jnp.round(jnp.mean(img @ _LUMA))
+            mean = jnp.round(jnp.mean(img @ jnp.asarray(_LUMA_W)))
             degenerate = jnp.full_like(img, mean)
         elif name == "Color":
-            degenerate = (img @ _LUMA)[..., None] * jnp.ones_like(img)
+            degenerate = (img @ jnp.asarray(_LUMA_W))[..., None] * jnp.ones_like(img)
         else:  # Sharpness is in PIL's enhancer table but never in the law
             continue
         img = jnp.clip(degenerate * (1.0 - f) + img * f, 0.0, 255.0)
