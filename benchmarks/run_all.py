@@ -129,6 +129,24 @@ def bench_device_data(tmp="/tmp/_bench_dds"):
     t0 = time.perf_counter()
     run()
     dt = time.perf_counter() - t0
+    # fused eval (the test.py fast path): full batches of the 600-episode
+    # protocol under one lax.scan dispatch + one remainder batch
+    from deep_kernel_transfer_tpu.data.device_dataset import make_fused_eval
+
+    fe = make_fused_eval(model, ds, 5, 5, 15, 16)
+
+    def run_fused():
+        k = jax.random.PRNGKey(3)
+        a = fe(state.params, k, 37)                      # 592 episodes
+        b = model.batch_correct(
+            state.params, ds.sample_episodes(jax.random.fold_in(k, 1),
+                                             5, 5, 15, batch=8))
+        _sync(a); _sync(b)
+
+    run_fused()
+    t0 = time.perf_counter()
+    run_fused()
+    dt_fused = time.perf_counter() - t0
     # end-to-end incl. the one-time staging cost, amortised over the
     # reference's protocols: one 600-episode run (test.py --repeat=1) and
     # the default 5-seed repeat (3000 episodes, split staged once via
@@ -138,6 +156,7 @@ def bench_device_data(tmp="/tmp/_bench_dds"):
     return {"device_data_staging_s": round(stage_s, 2),
             "device_data_sampler_compile_s": round(sampler_compile_s, 2),
             "dkt_eval_eps_per_sec_device_resident": round(600 / dt, 1),
+            "dkt_eval_eps_per_sec_device_fused": round(600 / dt_fused, 1),
             "dkt_eval_eps_per_sec_incl_staging_600ep": round(e2e_600, 1),
             "dkt_eval_eps_per_sec_incl_staging_3000ep": round(e2e_3000, 1)}
 

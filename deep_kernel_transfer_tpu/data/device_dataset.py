@@ -224,6 +224,34 @@ def make_fused_epoch(model, ds: "DeviceDataset", n_way: int, n_support: int,
     return chunk_fn
 
 
+def make_fused_eval(model, ds: "DeviceDataset", n_way: int, n_support: int,
+                    n_query: int, episode_batch: int):
+    """Fused evaluation: sample -> batch_correct under one lax.scan.
+
+    Returns eval_chunk(params, key, length) -> per-episode accuracy%
+    [length, episode_batch] (device array; read back after the loop).
+    The 600-episode test protocol becomes a couple of dispatches instead
+    of ~40, with no host round-trips between batches."""
+    k_total = n_support + n_query
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def chunk(params, key, images, table, counts, length: int):
+        def body(_, kk):
+            ids = _sample_ids(table, counts, kk, n_way, k_total,
+                              episode_batch)
+            x = jnp.take(images, ids, axis=0)
+            return None, model.batch_correct(params, x)
+
+        keys = jax.random.split(key, length)
+        _, accs = jax.lax.scan(body, None, keys)
+        return accs
+
+    def eval_chunk(params, key, length: int):
+        return chunk(params, key, ds.images, ds.table, ds.counts, length)
+
+    return eval_chunk
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _sample_ids(table, counts, key, n_way: int, k: int, batch: int):
     """Episode composition on device: n_way distinct classes, then k images

@@ -128,6 +128,7 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
         # mesh (standard head only; the special heads stay single-program)
         mesh = (None if special
                 else factory.resolve_mesh(params_cli, model, episode_batch))
+        dds = None
         if factory.use_device_data(params_cli, novel_file, image_size):
             # TPU-native fast path: the whole novel split lives in HBM and
             # episodes are sampled + gathered on device — zero host->device
@@ -153,6 +154,31 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
             print(f"episode-parallel mesh: {mesh.shape}")
             sharded_eval = make_sharded_eval(model, mesh)
             params = replicate_tree(params, mesh)
+
+        if dds is not None and mesh is None and not special:
+            # fused eval: the whole n_iter protocol as one scan dispatch
+            # over HBM-resident episodes (+ one remainder batch), zero
+            # host round-trips between batches (device_dataset.py)
+            from deep_kernel_transfer_tpu.data.device_dataset import (
+                make_fused_eval,
+            )
+
+            fused = make_fused_eval(model, dds, n_way, n_support, n_query,
+                                    episode_batch)
+            key = jax.random.PRNGKey(seed)
+            nb_full, rem = divmod(params_cli.n_iter, episode_batch)
+            parts = []
+            if nb_full:
+                key, sub = jax.random.split(key)
+                parts.append(np.asarray(fused(params, sub, nb_full))
+                             .reshape(-1))
+            if rem:
+                key, sub = jax.random.split(key)
+                xr = dds.sample_episodes(sub, n_way, n_support, n_query,
+                                         batch=rem)
+                parts.append(np.asarray(model.batch_correct(params, xr)))
+            accs = np.concatenate(parts)
+            return float(accs.mean()), ci95(accs)
 
         accs = []
         for xb in loader:

@@ -171,15 +171,19 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
     # per print_freq chunk (data/device_dataset.make_fused_epoch; measured
     # 1.36x over the per-batch dispatch chain). The mesh path keeps the
     # per-batch loop (episode batches are host-sharded there).
-    fused_chunk = None
+    fused_chunk = fused_val = None
     if use_dd and mesh is None:
         from deep_kernel_transfer_tpu.data.device_dataset import (
             make_fused_epoch,
+            make_fused_eval,
         )
 
         fused_chunk = make_fused_epoch(
             model, base_ds, n_way, n_support, n_query, episode_batch,
             augment_to=aug_to)
+        fused_val = make_fused_eval(
+            model, val_ds, params_cli.test_n_way, n_support, n_query,
+            episode_batch)
 
     if mesh is not None:
         # episode-parallel training: params replicated, episode axis sharded,
@@ -313,8 +317,27 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         if profile_dir and epoch == start_epoch:
             print(f"profile trace written to {profile_dir}")
         epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-        acc = _val_acc(model, state.params, val_iter(epoch),
-                       eval_fn=eval_batch)
+        if fused_val is not None:
+            # validation fused the same way as training: full batches in
+            # one scan dispatch, the remainder as a single extra batch
+            vkey = jax.random.PRNGKey(
+                params_cli.seed * 100003 + 50001 + epoch)
+            nb_full, rem = divmod(n_episodes, episode_batch)
+            parts = []
+            if nb_full:
+                vkey, sub = jax.random.split(vkey)
+                parts.append(
+                    fused_val(state.params, sub, nb_full).reshape(-1))
+            if rem:
+                vkey, sub = jax.random.split(vkey)
+                xv = val_ds.sample_episodes(
+                    sub, params_cli.test_n_way, n_support, n_query,
+                    batch=rem)
+                parts.append(model.batch_correct(state.params, xv))
+            acc = float(jnp.mean(jnp.concatenate(parts)))
+        else:
+            acc = _val_acc(model, state.params, val_iter(epoch),
+                           eval_fn=eval_batch)
         print(f"Epoch {epoch} | Val acc {acc:.2f}%")
         logger.log_scalars(epoch, loss=epoch_loss,
                            test_accuracy=acc, **extra)
