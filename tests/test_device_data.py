@@ -169,3 +169,38 @@ def test_canvas_staging(filelist):
     x = ds.sample_episodes(jax.random.PRNGKey(0), 3, 1, 2, batch=2)
     out = augment(jax.random.PRNGKey(1), x, 16)
     assert out.shape == (2, 3, 3, 16, 16, 3)
+
+
+def test_fused_epoch_and_eval(filelist):
+    """make_fused_epoch / make_fused_eval: deterministic per seed, state
+    advances, metrics/accs have the scan shape, last_batch is a real
+    episode batch (train.py/test.py fast paths)."""
+    from deep_kernel_transfer_tpu.data.device_dataset import (
+        make_fused_epoch,
+        make_fused_eval,
+    )
+    from deep_kernel_transfer_tpu.methods import ProtoNet
+    from deep_kernel_transfer_tpu.models.backbones import Conv4S
+
+    ds = DeviceDataset(filelist, image_size=16, canvas=True)
+    model = ProtoNet(Conv4S(), n_way=3, n_support=1)
+    state = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((3, 3, 16, 16, 3), jnp.float32))
+    chunk = make_fused_epoch(model, ds, 3, 1, 2, episode_batch=2,
+                             augment_to=16)
+    key = jax.random.PRNGKey(5)
+    s1, ms, last_x = chunk(state, key, 3)
+    assert ms["loss"].shape == (3,)
+    assert last_x.shape == (2, 3, 3, 16, 16, 3) and last_x.dtype == jnp.uint8
+    assert not np.array_equal(np.asarray(jax.tree.leaves(s1.params)[0]),
+                              np.asarray(jax.tree.leaves(state.params)[0]))
+    s2, ms2, _ = chunk(state, key, 3)
+    np.testing.assert_array_equal(np.asarray(ms["loss"]),
+                                  np.asarray(ms2["loss"]))
+
+    eval_ds = DeviceDataset(filelist, image_size=16)
+    ev = make_fused_eval(model, eval_ds, 3, 1, 2, episode_batch=2)
+    a1 = ev(state.params, key, 4)
+    assert a1.shape == (4, 2)
+    np.testing.assert_array_equal(np.asarray(a1),
+                                  np.asarray(ev(state.params, key, 4)))
