@@ -142,6 +142,14 @@ def _cpu_baseline() -> float:
 
 
 def main():
+    # persistent executable cache: skips the multi-minute cold XLA compile
+    # on repeat runs; measured step time is unaffected (cache only serves
+    # compiled executables)
+    from deep_kernel_transfer_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache,
+    )
+
+    enable_persistent_jit_cache()
     eps, step_flops = _measure_jax()
     base = _cpu_baseline()
     achieved = step_flops * eps / EP_BATCH  # FLOP/s sustained
