@@ -219,6 +219,22 @@ def test_device_data_train_aug_and_eval_toggle(dataset_cwd):
     assert "CUB-Conv4-DKT-aug" in open("record/results.txt").read()
 
 
+def test_maml_cli_device_data(dataset_cwd):
+    """MAML with device-resident data: the per-batch loop (MAML is
+    excluded from the fused epoch — compile blow-up) plus the fused test
+    eval. Uses the CUB fixture so the omniglot n_task=32 override doesn't
+    blow up the test budget."""
+    cub = ["--dataset=CUB", "--model=Conv4", "--train_n_way=3",
+           "--test_n_way=3", "--n_shot=2", "--seed=1"]
+    train_cli.main(cub + ["--method=maml_approx", "--stop_epoch=1",
+                          "--n_train_episodes=4", "--device_data=on"])
+    ckpt = "save/checkpoints/CUB/Conv4_maml_approx_3way_2shot/best_model.tar"
+    assert os.path.isfile(ckpt)
+    test_cli.main(cub + ["--method=maml_approx", "--n_iter=2", "--repeat=1",
+                         "--device_data=on"])
+    assert "CUB-Conv4-maml_approx" in open("record/results.txt").read()
+
+
 def test_episode_parallel_mesh_cli(dataset_cwd):
     """--n_devices episode-parallel path end-to-end on the virtual 8-CPU
     mesh: sharded train step (device-data sampler sharded over the mesh),

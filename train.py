@@ -171,8 +171,11 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
     # per print_freq chunk (data/device_dataset.make_fused_epoch; measured
     # 1.36x over the per-batch dispatch chain). The mesh path keeps the
     # per-batch loop (episode batches are host-sharded there).
+    # MAML is excluded: wrapping its inner-loop scan in the epoch scan
+    # multiplies XLA compile time (~20 min on the CPU host) for no
+    # dispatch win worth having — its n_task batch keeps the plain loop.
     fused_chunk = fused_val = None
-    if use_dd and mesh is None:
+    if use_dd and mesh is None and not isinstance(model, MAML):
         from deep_kernel_transfer_tpu.data.device_dataset import (
             make_fused_epoch,
             make_fused_eval,
