@@ -77,6 +77,27 @@ def _chol_solve(chol: Array, b: Array) -> Array:
     return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
 
 
+def _padded_size(n: int) -> int:
+    """Toolchain workaround: XLA's cholesky/triangular-solve DERIVATIVE
+    fails to compile for Gram sizes in the ~84-88 band under a large vmap
+    (InvertDiagBlocksLowerTriangular wants 18.3 MB scoped VMEM against the
+    16 MB ceiling; 90/96/100/128 compile fine at the same batch). Sizes in
+    the band are padded to 96 with an identity block — EXACT math: for the
+    block-diagonal [[K, 0], [0, I]] the factor, solves against zero-padded
+    vectors, and the leading-diagonal logdet are unchanged (the 5-way
+    1-shot 16-query episode, N=85, sits exactly in the band)."""
+    return 96 if 84 <= n <= 89 else n
+
+
+def _pad_gram(k_noisy: Array, n_pad: int) -> Array:
+    """[N, N] SPD -> [n_pad, n_pad] block-diag with an identity tail."""
+    n = k_noisy.shape[-1]
+    if n_pad == n:
+        return k_noisy
+    out = jnp.eye(n_pad, dtype=k_noisy.dtype)
+    return out.at[:n, :n].set(k_noisy)
+
+
 class ExactGP(NamedTuple):
     """A GP prior spec = (mean, kernel, likelihood). Pure configuration.
 
@@ -125,10 +146,12 @@ class ExactGP(NamedTuple):
             return woodbury_mll(z, diff, s, noise)
         k = self.kernel.apply(params["kernel"], x, x)
         k_noisy = k + noise * jnp.eye(n, dtype=k.dtype)
-        chol = psd_safe_cholesky(k_noisy)
-        alpha = _chol_solve(chol, diff)
-        quad = jnp.dot(diff, alpha)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        n_pad = _padded_size(n)
+        chol = psd_safe_cholesky(_pad_gram(k_noisy, n_pad))
+        alpha = _chol_solve(chol, jnp.pad(diff, (0, n_pad - n)))
+        quad = jnp.dot(diff, alpha[:n])
+        # leading-diagonal slice: the identity pad must not enter logdet
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)[:n]))
         return -0.5 * (quad + logdet + n * _LOG_2PI) / n
 
     def _use_low_rank(self, params: dict, x: Array) -> bool:
@@ -176,12 +199,17 @@ class ExactGP(NamedTuple):
         k_tt = self.kernel.apply(kp, x_train, x_train)
         k_tq = self.kernel.apply(kp, x_train, x_query)  # [N, M]
         noise = self.likelihood.noise(params["likelihood"])
-        chol = psd_safe_cholesky(k_tt + noise * jnp.eye(n, dtype=k_tt.dtype))
+        n_pad = _padded_size(n)
+        chol = psd_safe_cholesky(
+            _pad_gram(k_tt + noise * jnp.eye(n, dtype=k_tt.dtype), n_pad))
+        if n_pad != n:  # identity-padded rows solve to exact zeros
+            k_tq = jnp.pad(k_tq, ((0, n_pad - n), (0, 0)))
 
-        alpha = _chol_solve(chol, y_train - mean_tr)  # [N]
+        alpha = _chol_solve(chol, jnp.pad(y_train - mean_tr,
+                                          (0, n_pad - n)))  # [N']
         mean = mean_q + k_tq.T @ alpha  # [M]
 
-        v = jax.scipy.linalg.solve_triangular(chol, k_tq, lower=True)  # [N, M]
+        v = jax.scipy.linalg.solve_triangular(chol, k_tq, lower=True)  # [N', M]
         if full_covariance:
             k_qq = self.kernel.apply(kp, x_query, x_query)
             cov = k_qq - v.T @ v

@@ -259,3 +259,44 @@ def test_mll_training_improves(rng):
         params, state, loss = step(params, state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.3
+
+
+def test_banded_size_identity_padding_is_exact(rng):
+    """Gram sizes in the 84-88 band are identity-padded to 96 to dodge an
+    XLA cholesky-derivative compile failure (gp/exact._padded_size); the
+    padding must be invisible: mll / posterior / gradients at N=85 agree
+    with the naive dense computation."""
+    gp = ExactGP(make_kernel("rbf"),
+                 GaussianLikelihood(trainable=False, fixed_noise=0.1))
+    params = gp.init(jax.random.PRNGKey(0))
+    n = 85
+    xt = rng.randn(n, 3).astype(np.float32)
+    yt = rng.randn(n).astype(np.float32)
+    xq = rng.randn(6, 3).astype(np.float32)
+
+    ls = float(softplus(params["kernel"]["base"]["raw_lengthscale"]))
+    os_ = float(softplus(params["kernel"]["raw_outputscale"]))
+
+    def kf(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return os_ * np.exp(-0.5 * d2 / ls**2)
+
+    K = kf(xt, xt).astype(np.float64)
+    got = float(gp.mll(params, jnp.asarray(xt), jnp.asarray(yt)))
+    expected = naive_mll(K, 0.1, yt.astype(np.float64))
+    assert got == pytest.approx(expected, rel=1e-3)
+
+    post = gp.posterior(params, jnp.asarray(xt), jnp.asarray(yt),
+                        jnp.asarray(xq))
+    Ktt = K + 0.1 * np.eye(n)
+    Ktq = kf(xt, xq).astype(np.float64)
+    mean = Ktq.T @ np.linalg.solve(Ktt, yt.astype(np.float64))
+    cov = kf(xq, xq).astype(np.float64) - Ktq.T @ np.linalg.solve(Ktt, Ktq)
+    np.testing.assert_allclose(np.asarray(post.mean), mean,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(post.variance), np.diag(cov),
+                               rtol=1e-2, atol=1e-3)
+
+    # gradients flow and are finite through the padded factorisation
+    g = jax.grad(lambda p: gp.mll(p, jnp.asarray(xt), jnp.asarray(yt)))(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
