@@ -19,7 +19,7 @@ import os
 import time
 
 N_WAY, N_SUPPORT, N_QUERY, HW = 5, 5, 15, 84
-EP_BATCH = 16
+EP_BATCH = 32  # conv-bound: eps/s is ~flat in batch, 32 is the measured knee
 _BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
 
 
