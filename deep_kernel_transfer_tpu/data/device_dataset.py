@@ -73,7 +73,11 @@ class DeviceDataset:
 
         if canvas:
             size = int(image_size * 1.15)
-            host = np.stack([_load_canvas(p, size) for p in paths])
+            host = np.empty((len(paths), size, size, 3), np.uint8)
+            chunk = 1024
+            for i in range(0, len(paths), chunk):
+                host[i:i + chunk] = _load_canvas_batch(paths[i:i + chunk],
+                                                       size)
         else:
             # chunked threaded batch decode (native C++ pool when built);
             # chunking bounds the float32 intermediate to ~100 MB
@@ -252,6 +256,26 @@ def make_fused_eval(model, ds: "DeviceDataset", n_way: int, n_support: int,
     return eval_chunk
 
 
+def fused_protocol_accs(eval_chunk, model, ds: "DeviceDataset", params, key,
+                        n_way: int, n_support: int, n_query: int,
+                        n_episodes: int, episode_batch: int):
+    """Run an n_episodes eval protocol through a prebuilt fused eval chunk
+    (make_fused_eval): full batches as ONE scan dispatch, the remainder as
+    a single extra batch. Returns per-episode accuracy% [n_episodes] on
+    device. Shared by train.py's per-epoch validation and test.py's
+    600-episode protocol."""
+    nb_full, rem = divmod(n_episodes, episode_batch)
+    parts = []
+    if nb_full:
+        key, sub = jax.random.split(key)
+        parts.append(jnp.reshape(eval_chunk(params, sub, nb_full), (-1,)))
+    if rem:
+        key, sub = jax.random.split(key)
+        xr = ds.sample_episodes(sub, n_way, n_support, n_query, batch=rem)
+        parts.append(model.batch_correct(params, xr))
+    return jnp.concatenate(parts)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _sample_ids(table, counts, key, n_way: int, k: int, batch: int):
     """Episode composition on device: n_way distinct classes, then k images
@@ -292,6 +316,22 @@ def _load_canvas(path: str, size: int) -> np.ndarray:
     data/datamgr.py:32 — no crop), as uint8 HWC."""
     img = load_image(path).resize((size, size), 2)  # 2 = PIL BILINEAR
     return np.asarray(img, np.uint8)
+
+
+def _load_canvas_batch(paths: list[str], size: int) -> np.ndarray:
+    """Canvas-stage many files, threaded through the native batch decoder
+    when built (the same pool the eval staging path uses — one C call per
+    chunk instead of a serial PIL loop); PIL fallback otherwise. Native
+    pixels match PIL within the pipeline's resampling tolerance
+    (tests/test_native_pipeline.py)."""
+    from .. import native
+
+    if native.available() and paths:
+        try:
+            return native.load_canvas_batch(paths, size)
+        except IOError:
+            pass  # e.g. an unsupported format in the list -> PIL below
+    return np.stack([_load_canvas(p, size) for p in paths])
 
 
 def fits_budget(data_file: str, image_size: int, canvas: bool = False,

@@ -22,6 +22,8 @@ autodiff, vmap over ways/episodes, and sharding compose untouched.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -29,13 +31,19 @@ Array = jax.Array
 
 _LOG_2PI = 1.8378770664093453
 
+# EVERY contraction here runs f32 on the MXU: the Woodbury terms are
+# near-cancelling differences (e.g. g - g M^-1 g / noise), so a default
+# bf16 pass in any one operand destroys the cancellation and the exact
+# parity with the dense path that this module's tests enforce.
+_dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+
 
 def _m_chol(z: Array, s, noise):
     """Cholesky of M = s^-1 I + noise^-1 Z^T Z (the [D, D] capacitance)."""
     d = z.shape[-1]
     from .exact import psd_safe_cholesky  # runtime import (exact imports us)
 
-    g = jnp.dot(z.T, z, precision=jax.lax.Precision.HIGHEST)
+    g = _dot(z.T, z)
     m = g / noise + jnp.eye(d, dtype=z.dtype) / s
     return psd_safe_cholesky(m)
 
@@ -49,9 +57,9 @@ def woodbury_mll(z: Array, diff: Array, s, noise) -> Array:
     """Exact MLL of diff ~ N(0, s Z Z^T + noise I), gpytorch 1/N scaling
     (matches ExactGP.mll for low-rank kernels)."""
     n, d = z.shape
-    t = jnp.dot(z.T, diff, precision=jax.lax.Precision.HIGHEST)  # [D]
+    t = _dot(z.T, diff)  # [D]
     lc = _m_chol(z, s, noise)
-    quad = (jnp.dot(diff, diff) - jnp.dot(t, _cho_solve(lc, t)) / noise) / noise
+    quad = (_dot(diff, diff) - _dot(t, _cho_solve(lc, t)) / noise) / noise
     logdet = (n * jnp.log(noise) + d * jnp.log(s)
               + 2.0 * jnp.sum(jnp.log(jnp.diagonal(lc))))
     return -0.5 * (quad + logdet + n * _LOG_2PI) / n
@@ -66,22 +74,24 @@ def woodbury_posterior(
     full_covariance: bool = False,
 ):
     """Posterior mean adjustment and (co)variance of the noise-free f* at
-    query features, conditioning on (Z, diff):
-      mean* = s Zq w,            w = Z^T (K + noise I)^-1 diff     [D]
-      cov*  = s Zq Zq^T - s^2 Zq H Zq^T,
-              H = Z^T (K + noise I)^-1 Z                           [D, D]
+    query features, conditioning on (Z, diff) — the weight-space view of
+    the degenerate GP (Rasmussen & Williams eq. 2.11). With
+    M = s^-1 I + noise^-1 Z^T Z the Woodbury-expanded function-space
+    expressions COLLAPSE exactly (H = Z^T (K+noise I)^-1 Z satisfies
+    s I - s^2 H = M^-1):
+      mean* = Zq M^-1 t / noise,   t = Z^T diff                    [D]
+      cov*  = Zq M^-1 Zq^T
+    This form has no large-term cancellation (the subtractive
+    function-space form loses ~all variance precision on the MXU: the
+    prior and correction terms agree to ~3 decimal digits) and is
+    positive-semidefinite by construction.
     Returns (mean_adjustment [M], var [M], cov [M, M] | None)."""
-    g = jnp.dot(z_train.T, z_train, precision=jax.lax.Precision.HIGHEST)
-    t = jnp.dot(z_train.T, diff, precision=jax.lax.Precision.HIGHEST)
+    t = _dot(z_train.T, diff)
     lc = _m_chol(z_train, s, noise)
-    w = (t - jnp.dot(g, _cho_solve(lc, t)) / noise) / noise        # [D]
-    h = (g - jnp.dot(g, _cho_solve(lc, g)) / noise) / noise        # [D, D]
-    mean_adj = s * jnp.dot(z_query, w)
-    zq_h = jnp.dot(z_query, h, precision=jax.lax.Precision.HIGHEST)
-    var = (s * jnp.sum(z_query * z_query, axis=-1)
-           - s * s * jnp.sum(zq_h * z_query, axis=-1))
+    mean_adj = _dot(z_query, _cho_solve(lc, t)) / noise
+    # U = Lc^-1 Zq^T  =>  Zq M^-1 Zq^T = U^T U
+    u = jax.scipy.linalg.solve_triangular(lc, z_query.T, lower=True)
+    var = jnp.sum(u * u, axis=0)
     if full_covariance:
-        cov = (s * jnp.dot(z_query, z_query.T)
-               - s * s * jnp.dot(zq_h, z_query.T))
-        return mean_adj, var, cov
+        return mean_adj, var, _dot(u.T, u)
     return mean_adj, var, None

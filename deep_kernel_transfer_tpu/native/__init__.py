@@ -71,6 +71,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, fp]
         lib.dkt_load_eval_batch.restype = ctypes.c_int
+        u8p = ctypes.POINTER(ctypes.c_ubyte)
+        lib.dkt_load_canvas.argtypes = [ctypes.c_char_p, ctypes.c_int, u8p]
+        lib.dkt_load_canvas.restype = ctypes.c_int
+        lib.dkt_load_canvas_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u8p]
+        lib.dkt_load_canvas_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -115,6 +122,37 @@ def load_eval_batch(paths: list[str], size: int, normalize: bool = True,
     rc = lib.dkt_load_eval_batch(
         arr, n, size, int(normalize), int(n_threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc:
+        raise IOError(f"native decode failed: {paths[rc - 1]}")
+    return out
+
+
+def load_canvas(path: str, size: int) -> np.ndarray:
+    """Full image resampled to a square canvas (no crop): [size, size, 3]
+    uint8 — the DeviceDataset(canvas=True) staging format."""
+    lib = _load()
+    assert lib is not None
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.dkt_load_canvas(path.encode(), size,
+                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc:
+        raise IOError(f"native decode failed: {path}")
+    return out
+
+
+def load_canvas_batch(paths: list[str], size: int,
+                      n_threads: int = 0) -> np.ndarray:
+    """Threaded batch of `load_canvas`: [n, size, size, 3] uint8.
+    Deterministic and identical to the per-image loop (see
+    load_eval_batch)."""
+    lib = _load()
+    assert lib is not None
+    n = len(paths)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    out = np.empty((n, size, size, 3), np.uint8)
+    rc = lib.dkt_load_canvas_batch(
+        arr, n, size, int(n_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     if rc:
         raise IOError(f"native decode failed: {paths[rc - 1]}")
     return out

@@ -254,6 +254,37 @@ void jitter(std::vector<float>* img, int npx, float brightness, float contrast,
   for (int i = 0; i < npx * 3; ++i) p[i] = std::min(std::max(p[i], 0.0f), 255.0f);
 }
 
+// Shared work-stealing batch pool: runs one(i) for i in [0, n) over
+// n_threads workers (<= 0 picks hardware_concurrency). Items are fully
+// independent; workers share nothing but the counter, so results are
+// deterministic and identical to a serial loop regardless of thread
+// count. Returns 0 on success or the 1-based index of the first failure.
+template <typename Fn>
+int run_batch_pool(int n, int n_threads, const Fn& one) {
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n || err.load(std::memory_order_relaxed)) return;
+      if (one(i)) {
+        int expected = 0;
+        err.compare_exchange_strong(expected, i + 1);
+        return;
+      }
+    }
+  };
+  int t = n_threads > 0 ? n_threads
+                        : int(std::thread::hardware_concurrency());
+  t = std::max(1, std::min(t, n));
+  std::vector<std::thread> pool;
+  pool.reserve(t - 1);
+  for (int k = 1; k < t; ++k) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return err.load();
+}
+
 const float kMean[3] = {0.485f, 0.456f, 0.406f};
 const float kStd[3] = {0.229f, 0.224f, 0.225f};
 
@@ -348,29 +379,36 @@ int dkt_load_aug(const char* path, int size, int normalize, int crop_left,
 // Returns 0 on success, or the 1-based index of the first failed image.
 int dkt_load_eval_batch(const char** paths, int n, int size, int normalize,
                         int n_threads, float* out) {
-  std::atomic<int> next(0);
-  std::atomic<int> err(0);
   const size_t stride = size_t(size) * size * 3;
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1, std::memory_order_relaxed);
-      if (i >= n || err.load(std::memory_order_relaxed)) return;
-      if (dkt_load_eval(paths[i], size, normalize, out + stride * i)) {
-        int expected = 0;
-        err.compare_exchange_strong(expected, i + 1);
-        return;
-      }
-    }
-  };
-  int t = n_threads > 0 ? n_threads
-                        : int(std::thread::hardware_concurrency());
-  t = std::max(1, std::min(t, n));
-  std::vector<std::thread> pool;
-  pool.reserve(t - 1);
-  for (int k = 1; k < t; ++k) pool.emplace_back(worker);
-  worker();
-  for (auto& th : pool) th.join();
-  return err.load();
+  return run_batch_pool(n, n_threads, [&](int i) {
+    return dkt_load_eval(paths[i], size, normalize, out + stride * i);
+  });
+}
+
+// Canvas pipeline: decode -> resample the FULL image to a size x size
+// square (no crop; the on-device augmentation takes random crops later —
+// data/device_aug.py) -> round to uint8. The staging format of
+// DeviceDataset(canvas=True).
+int dkt_load_canvas(const char* path, int size, unsigned char* out) {
+  ImageU8 img;
+  if (!decode_file(path, &img)) return -1;
+  std::vector<float> resized;
+  resample(img, 0, 0, float(img.w), float(img.h), size, size, &resized);
+  const size_t npx = size_t(size) * size * 3;
+  for (size_t i = 0; i < npx; ++i) {
+    float v = resized[i] + 0.5f;
+    out[i] = (unsigned char)(v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v));
+  }
+  return 0;
+}
+
+// Threaded batch canvas decode: n images into out [n, size, size, 3] u8.
+int dkt_load_canvas_batch(const char** paths, int n, int size, int n_threads,
+                          unsigned char* out) {
+  const size_t stride = size_t(size) * size * 3;
+  return run_batch_pool(n, n_threads, [&](int i) {
+    return dkt_load_canvas(paths[i], size, out + stride * i);
+  });
 }
 
 }  // extern "C"

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -156,3 +157,16 @@ def make_sharded_eval(method, mesh: Mesh, axis: str = DATA_AXIS):
         in_shardings=(replicated(mesh), episode_sharding(mesh, axis)),
         out_shardings=episode_sharding(mesh, axis),
     )
+
+
+def wrap_pad_episodes(xb: Array, mesh: Mesh) -> tuple[Array, int]:
+    """Pad a final partial episode batch up to a device-divisible size by
+    wrapping episodes; returns (padded batch, original size) so eval
+    callers can trim the duplicates back off ([:b]). For training the
+    duplicates add negligible gradient weight once per epoch."""
+    b = xb.shape[0]
+    if b % mesh.size != 0:
+        target = -(-b // mesh.size) * mesh.size
+        reps = -(-target // b)
+        xb = jnp.concatenate([jnp.asarray(xb)] * reps)[:target]
+    return xb, b

@@ -149,6 +149,7 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
                 make_sharded_eval,
                 replicate_tree,
                 shard_episode_batch,
+                wrap_pad_episodes,
             )
 
             print(f"episode-parallel mesh: {mesh.shape}")
@@ -160,24 +161,16 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
             # over HBM-resident episodes (+ one remainder batch), zero
             # host round-trips between batches (device_dataset.py)
             from deep_kernel_transfer_tpu.data.device_dataset import (
+                fused_protocol_accs,
                 make_fused_eval,
             )
 
             fused = make_fused_eval(model, dds, n_way, n_support, n_query,
                                     episode_batch)
-            key = jax.random.PRNGKey(seed)
-            nb_full, rem = divmod(params_cli.n_iter, episode_batch)
-            parts = []
-            if nb_full:
-                key, sub = jax.random.split(key)
-                parts.append(np.asarray(fused(params, sub, nb_full))
-                             .reshape(-1))
-            if rem:
-                key, sub = jax.random.split(key)
-                xr = dds.sample_episodes(sub, n_way, n_support, n_query,
-                                         batch=rem)
-                parts.append(np.asarray(model.batch_correct(params, xr)))
-            accs = np.concatenate(parts)
+            accs = np.asarray(fused_protocol_accs(
+                fused, model, dds, params, jax.random.PRNGKey(seed),
+                n_way, n_support, n_query, params_cli.n_iter,
+                episode_batch))
             return float(accs.mean()), ci95(accs)
 
         accs = []
@@ -192,11 +185,7 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
                     batch_acc = model.batch_correct_adapted(params, xb,
                                                             steps=100)
             elif mesh is not None:
-                b = xb.shape[0]
-                if b % mesh.size != 0:  # wrap-pad, trim after
-                    target = -(-b // mesh.size) * mesh.size
-                    reps = -(-target // b)
-                    xb = jnp.concatenate([xb] * reps)[:target]
+                xb, b = wrap_pad_episodes(xb, mesh)  # trim after
                 batch_acc = sharded_eval(
                     params, shard_episode_batch(xb, mesh))[:b]
             else:

@@ -86,6 +86,54 @@ def test_small_n_stays_dense():
     assert not rbf_gp._use_low_rank(rp, x_small)
 
 
+_TPU_PARITY_SCRIPT = r"""
+import numpy as np, jax, jax.numpy as jnp
+if jax.default_backend() not in ("tpu", "axon"):
+    print("NO_TPU"); raise SystemExit(0)
+from deep_kernel_transfer_tpu.gp import ExactGP, GaussianLikelihood, make_kernel
+from deep_kernel_transfer_tpu.gp.kernels import Kernel
+
+N, D, M = 512, 64, 33
+k = make_kernel("linear")
+lik = GaussianLikelihood(trainable=False, fixed_noise=0.1)
+gp, gp_dense = ExactGP(k, lik), ExactGP(Kernel(k.init, k.apply, None), lik)
+params = gp.init(jax.random.PRNGKey(0))
+rng = np.random.RandomState(0)
+x = jnp.asarray(rng.randn(N, D).astype(np.float32))
+y = jnp.asarray(rng.randn(N).astype(np.float32))
+xq = jnp.asarray(rng.randn(M, D).astype(np.float32))
+assert gp._use_low_rank(params, x)
+
+# the Woodbury terms are near-cancelling: any default-precision (bf16)
+# matmul in the chain blows these tolerances by orders of magnitude
+m_lr, m_d = float(jax.jit(gp.mll)(params, x, y)), float(jax.jit(gp_dense.mll)(params, x, y))
+assert abs(m_lr - m_d) < 5e-4 * max(1.0, abs(m_d)), (m_lr, m_d)
+
+p_lr = jax.jit(gp.posterior)(params, x, y, xq)
+p_d = jax.jit(gp_dense.posterior)(params, x, y, xq)
+assert np.allclose(np.asarray(p_lr.mean), np.asarray(p_d.mean),
+                   rtol=2e-3, atol=2e-3)
+assert np.allclose(np.asarray(p_lr.variance), np.asarray(p_d.variance),
+                   rtol=5e-3, atol=5e-3)
+
+g_lr = jax.jit(jax.grad(lambda p: -gp.mll(p, x, y)))(params)
+g_d = jax.jit(jax.grad(lambda p: -gp_dense.mll(p, x, y)))(params)
+for a, b in zip(jax.tree.leaves(g_lr), jax.tree.leaves(g_d)):
+    denom = float(jnp.abs(b).max()) + 1e-8
+    assert float(jnp.abs(a - b).max()) / denom < 5e-3
+print("WOODBURY_TPU_OK")
+"""
+
+
+def test_woodbury_parity_on_tpu():
+    """Dense-vs-Woodbury parity ON THE MXU: catches any contraction in
+    gp/low_rank.py that falls back to default (bf16) precision — invisible
+    to the CPU suite, where every matmul is f32 regardless."""
+    from tpu_subprocess import run_on_tpu
+
+    run_on_tpu(_TPU_PARITY_SCRIPT, "WOODBURY_TPU_OK")
+
+
 def test_vmapped_sum_mll_jits():
     """The routing is static, so the batched one-vs-rest surface jits and
     runs through Woodbury unchanged."""

@@ -106,6 +106,32 @@ def test_eval_batch_matches_per_image(images):
     np.testing.assert_array_equal(batch, loop)
 
 
+def test_canvas_batch_matches_per_image_and_pil(images):
+    """dkt_load_canvas_batch == a load_canvas loop at any thread count, and
+    stays within resampling tolerance of the PIL canvas (uint8 LSBs)."""
+    from deep_kernel_transfer_tpu.data.device_dataset import (
+        _load_canvas,
+        _load_canvas_batch,
+    )
+
+    jpg, png, gray = images
+    paths = [jpg, png, gray, jpg, png]
+    ref = np.stack([native.load_canvas(p, 96) for p in paths])
+    assert ref.dtype == np.uint8 and ref.shape == (5, 96, 96, 3)
+    for n_threads in (1, 4, 0):
+        out = native.load_canvas_batch(paths, 96, n_threads=n_threads)
+        np.testing.assert_array_equal(out, ref)
+
+    pil = np.stack([_load_canvas(p, 96) for p in paths])
+    # float triangle filter vs PIL's fixed-point: a few u8 LSBs
+    assert np.abs(ref.astype(int) - pil.astype(int)).max() <= 6
+    assert np.abs(ref.astype(float) - pil.astype(float)).mean() < 1.0
+
+    # the staging helper routes through the native batch when available
+    staged = _load_canvas_batch(paths, 96)
+    np.testing.assert_array_equal(staged, ref)
+
+
 def test_eval_batch_reports_failed_path(images, tmp_path):
     bad = str(tmp_path / "nope.jpg")
     with pytest.raises(IOError, match="nope"):

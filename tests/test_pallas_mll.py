@@ -5,11 +5,7 @@ mode is prohibitively slow here (~80s for a trivial kernel), so the real
 parity check runs in a SUBPROCESS against the default (TPU) platform and is
 skipped when no TPU is reachable.
 """
-import os
-import subprocess
-import sys
-
-import pytest
+from tpu_subprocess import run_on_tpu
 
 _PARITY_SCRIPT = r"""
 import numpy as np, jax, jax.numpy as jnp
@@ -69,21 +65,7 @@ print("DKT_OK", losses)
 """
 
 
-def _run_on_tpu(script: str, marker: str):
-    # drop the conftest's CPU-mesh pins but KEEP the rest of the env —
-    # PYTHONPATH carries the TPU platform plugin
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("XLA_FLAGS", None)
-    repo = os.path.join(os.path.dirname(__file__), "..")
-    env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + repo)
-    result = subprocess.run([sys.executable, "-c", script], env=env,
-                            capture_output=True, text=True, timeout=540)
-    out = result.stdout + result.stderr
-    if "NO_TPU" in out:
-        pytest.skip("no TPU platform available")
-    assert result.returncode == 0, out
-    assert marker in out, out
+_run_on_tpu = run_on_tpu
 
 
 def test_fused_mll_parity_on_tpu():

@@ -187,6 +187,13 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         fused_val = make_fused_eval(
             model, val_ds, params_cli.test_n_way, n_support, n_query,
             episode_batch)
+        # exact-count parity with the streaming loader: a final partial
+        # batch of rem episodes instead of rounding the epoch up to
+        # n_batches*episode_batch
+        nb_full_tr, rem_tr = divmod(n_episodes, episode_batch)
+        fused_chunk_rem = (make_fused_epoch(
+            model, base_ds, n_way, n_support, n_query, rem_tr,
+            augment_to=aug_to) if rem_tr else None)
 
     if mesh is not None:
         # episode-parallel training: params replicated, episode axis sharded,
@@ -197,29 +204,21 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
             make_sharded_train_step,
             replicate_tree,
             shard_episode_batch,
+            wrap_pad_episodes,
         )
 
         print(f"episode-parallel mesh: {mesh.shape}")
         sharded_step = make_sharded_train_step(model, mesh)
         sharded_eval = make_sharded_eval(model, mesh)
 
-        def _mesh_batch(xb):
-            """Pad a final partial batch up to a device-divisible size by
-            wrapping episodes (train: the duplicates add negligible gradient
-            weight once per epoch; eval: the caller trims the extras)."""
-            b = xb.shape[0]
-            if b % mesh.size != 0:
-                target = -(-b // mesh.size) * mesh.size
-                reps = -(-target // b)
-                xb = jnp.concatenate([jnp.asarray(xb)] * reps)[:target]
-            return shard_episode_batch(xb, mesh)
-
         def train_step(state, xb):
-            return sharded_step(state, _mesh_batch(xb))
+            xb, _ = wrap_pad_episodes(xb, mesh)
+            return sharded_step(state, shard_episode_batch(xb, mesh))
 
         def eval_batch(params, xb):
-            b = xb.shape[0]
-            return np.asarray(sharded_eval(params, _mesh_batch(xb)))[:b]
+            xb, b = wrap_pad_episodes(xb, mesh)
+            return np.asarray(
+                sharded_eval(params, shard_episode_batch(xb, mesh)))[:b]
 
         state = replicate_tree(state, mesh)
         maybe_replicate = lambda s: replicate_tree(s, mesh)
@@ -270,7 +269,7 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         # the dispatch pipeline (the async dispatch queue is what overlaps
         # host episode prep with TPU compute)
         losses, i = [], 0
-        extra = {}
+        extra, last_m = {}, None
         print_freq = 10
 
         def print_progress(m_last, last_xb):
@@ -301,43 +300,54 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         with profile_ctx:
           if fused_chunk is not None:
             ekey = jax.random.PRNGKey(params_cli.seed * 100003 + epoch)
-            while i < n_batches:
-                ln = min(print_freq, n_batches - i)
+            while i < nb_full_tr:
+                ln = min(print_freq, nb_full_tr - i)
                 ekey, sub = jax.random.split(ekey)
                 state, ms, last_xb = fused_chunk(state, sub, ln)
                 losses.extend(list(ms["loss"]))
                 i += ln
+                last_m = {k: v[-1] for k, v in ms.items()}
                 if i % print_freq == 0:  # same cadence as the batch loop
-                    print_progress({k: v[-1] for k, v in ms.items()}, last_xb)
+                    print_progress(last_m, last_xb)
+            if fused_chunk_rem is not None:
+                # final partial batch, same count as the streaming loader
+                ekey, sub = jax.random.split(ekey)
+                state, ms, last_xb = fused_chunk_rem(state, sub, 1)
+                losses.extend(list(ms["loss"]))
+                i += 1
+                last_m = {k: v[-1] for k, v in ms.items()}
+                if i % print_freq == 0:
+                    print_progress(last_m, last_xb)
           else:
             for xb in base_iter(epoch):
                 xb = jnp.asarray(xb)
                 state, m = train_step(state, xb)
                 losses.append(m["loss"])
                 i += 1
+                last_m = m
                 if i % print_freq == 0:
                     print_progress(m, xb)
         if profile_dir and epoch == start_epoch:
             print(f"profile trace written to {profile_dir}")
+        if last_m is not None:
+            # epochs shorter than print_freq never hit print_progress;
+            # the epoch-level scalars still get the final batch's
+            # hyperparameters (reference logs them every episode)
+            extra = {k: float(v) for k, v in last_m.items() if k != "loss"}
         epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         if fused_val is not None:
             # validation fused the same way as training: full batches in
             # one scan dispatch, the remainder as a single extra batch
+            from deep_kernel_transfer_tpu.data.device_dataset import (
+                fused_protocol_accs,
+            )
+
             vkey = jax.random.PRNGKey(
                 params_cli.seed * 100003 + 50001 + epoch)
-            nb_full, rem = divmod(n_episodes, episode_batch)
-            parts = []
-            if nb_full:
-                vkey, sub = jax.random.split(vkey)
-                parts.append(
-                    fused_val(state.params, sub, nb_full).reshape(-1))
-            if rem:
-                vkey, sub = jax.random.split(vkey)
-                xv = val_ds.sample_episodes(
-                    sub, params_cli.test_n_way, n_support, n_query,
-                    batch=rem)
-                parts.append(model.batch_correct(state.params, xv))
-            acc = float(jnp.mean(jnp.concatenate(parts)))
+            acc = float(jnp.mean(fused_protocol_accs(
+                fused_val, model, val_ds, state.params, vkey,
+                params_cli.test_n_way, n_support, n_query, n_episodes,
+                episode_batch)))
         else:
             acc = _val_acc(model, state.params, val_iter(epoch),
                            eval_fn=eval_batch)
