@@ -35,14 +35,24 @@ Array = jax.Array
 
 _LOG_2PI = 1.8378770664093453
 
+# GP numerics contract: every MXU contraction in the engine runs f32
+# (Mosaic/XLA lower default-precision f32 dots to bf16 on TPU, which the
+# CPU test mesh cannot see — same rule as kernels._dot_f32, low_rank._dot)
+_dot = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
 
-def psd_safe_cholesky(mat: Array, initial_jitter: float = 1e-6, max_tries: int = 5) -> Array:
+
+def psd_safe_cholesky(mat: Array, initial_jitter: float = 1e-6, max_tries: int = 9) -> Array:
     """Cholesky with in-graph jitter escalation (no host round-trips).
 
     jnp.linalg.cholesky returns NaNs on a non-PD input instead of raising, so
     escalation is a lax.while_loop that retries with jitter
     initial_jitter * 10**i until the factor is finite (mirrors gpytorch's
-    psd_safe_cholesky, needed per reference README.md:27).
+    psd_safe_cholesky, needed per reference README.md:27). max_tries=9 takes
+    the jitter up to 1e2 — far above any Gram this engine builds (bncossim
+    diagonals are ~1.1), so a finite input always factors. On true
+    exhaustion the next UNTRIED level is used (not the one that just
+    failed); gpytorch raises NotPSDError there, which an in-graph op cannot
+    — a NaN factor (and loss) is the in-jit analogue.
     """
     n = mat.shape[-1]
     eye = jnp.eye(n, dtype=mat.dtype)
@@ -62,10 +72,15 @@ def psd_safe_cholesky(mat: Array, initial_jitter: float = 1e-6, max_tries: int =
         jitter = initial_jitter * (10.0**i)
         return i + 1.0, jnp.linalg.cholesky(m0 + jitter * eye)
 
-    tries, _ = jax.lax.while_loop(
+    tries, probe = jax.lax.while_loop(
         bad, retry, (jnp.asarray(0.0, mat.dtype), jnp.linalg.cholesky(m0))
     )
-    jitter = jnp.where(tries > 0, initial_jitter * (10.0 ** (tries - 1.0)), 0.0)
+    ok = jnp.all(jnp.isfinite(probe))
+    jitter = jnp.where(
+        ok,
+        jnp.where(tries > 0, initial_jitter * (10.0 ** (tries - 1.0)), 0.0),
+        initial_jitter * (10.0 ** tries),  # exhausted: escalate once more
+    )
 
     # Phase 2 — one differentiable Cholesky at the selected jitter.
     return jnp.linalg.cholesky(mat + jitter * eye)
@@ -149,7 +164,7 @@ class ExactGP(NamedTuple):
         n_pad = _padded_size(n)
         chol = psd_safe_cholesky(_pad_gram(k_noisy, n_pad))
         alpha = _chol_solve(chol, jnp.pad(diff, (0, n_pad - n)))
-        quad = jnp.dot(diff, alpha[:n])
+        quad = _dot(diff, alpha[:n])
         # leading-diagonal slice: the identity pad must not enter logdet
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)[:n]))
         return -0.5 * (quad + logdet + n * _LOG_2PI) / n
@@ -207,12 +222,12 @@ class ExactGP(NamedTuple):
 
         alpha = _chol_solve(chol, jnp.pad(y_train - mean_tr,
                                           (0, n_pad - n)))  # [N']
-        mean = mean_q + k_tq.T @ alpha  # [M]
+        mean = mean_q + _dot(k_tq.T, alpha)  # [M]
 
         v = jax.scipy.linalg.solve_triangular(chol, k_tq, lower=True)  # [N', M]
         if full_covariance:
             k_qq = self.kernel.apply(kp, x_query, x_query)
-            cov = k_qq - v.T @ v
+            cov = k_qq - _dot(v.T, v)
             var = jnp.diagonal(cov)
             return MultivariateNormal(mean, jnp.maximum(var, 1e-10), cov)
         # marginal variances only: diag(Kqq) - sum_n v^2 (no [M,M] matrix)

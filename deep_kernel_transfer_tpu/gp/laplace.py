@@ -25,6 +25,9 @@ from .kernels import sq_dist
 
 Array = jax.Array
 
+# GP numerics contract (see gp/exact.py): MXU contractions stay f32
+_dot = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+
 
 def rbf_gram(x1: Array, x2: Array, lengthscale: float = 0.1,
              outputscale: float = 1.0) -> Array:
@@ -48,10 +51,10 @@ def _newton_mode(K: Array, t: Array, n_iters: int = 30):
         L = jnp.linalg.cholesky(B)
         b = W * f + (t - pi)
         # a = b - W^1/2 L^-T L^-1 W^1/2 K b
-        kb = K @ b
+        kb = _dot(K, b)
         v = jax.scipy.linalg.solve_triangular(L, sw * kb, lower=True)
         a = b - sw * jax.scipy.linalg.solve_triangular(L.T, v, lower=False)
-        return K @ a
+        return _dot(K, a)
 
     f_hat = jax.lax.fori_loop(0, n_iters, body, jnp.zeros(n, dtype=K.dtype))
     return f_hat
@@ -75,7 +78,7 @@ def laplace_predict_proba(x_train: Array, t: Array, x_query: Array,
     L = jnp.linalg.cholesky(eye + sw[:, None] * K * sw[None, :])
 
     k_star = rbf_gram(x_train, x_query, lengthscale, outputscale)  # [N, M]
-    f_star = k_star.T @ (t - pi)  # [M]
+    f_star = _dot(k_star.T, t - pi)  # [M]
     v = jax.scipy.linalg.solve_triangular(L, sw[:, None] * k_star, lower=True)
     k_ss = outputscale  # RBF diagonal
     var = jnp.maximum(k_ss - jnp.sum(v * v, axis=0), 1e-10)  # [M]

@@ -27,12 +27,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# no cycle: exact.py only imports this module inside function bodies
+from .exact import _LOG_2PI, _chol_solve as _cho_solve, psd_safe_cholesky
+
 Array = jax.Array
 
-_LOG_2PI = 1.8378770664093453
-
 # EVERY contraction here runs f32 on the MXU: the Woodbury terms are
-# near-cancelling differences (e.g. g - g M^-1 g / noise), so a default
+# near-cancelling differences (e.g. the MLL quad form), so a default
 # bf16 pass in any one operand destroys the cancellation and the exact
 # parity with the dense path that this module's tests enforce.
 _dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
@@ -41,16 +42,9 @@ _dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
 def _m_chol(z: Array, s, noise):
     """Cholesky of M = s^-1 I + noise^-1 Z^T Z (the [D, D] capacitance)."""
     d = z.shape[-1]
-    from .exact import psd_safe_cholesky  # runtime import (exact imports us)
-
     g = _dot(z.T, z)
     m = g / noise + jnp.eye(d, dtype=z.dtype) / s
     return psd_safe_cholesky(m)
-
-
-def _cho_solve(lc: Array, b: Array) -> Array:
-    y = jax.scipy.linalg.solve_triangular(lc, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(lc.T, y, lower=False)
 
 
 def woodbury_mll(z: Array, diff: Array, s, noise) -> Array:

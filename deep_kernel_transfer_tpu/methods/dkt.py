@@ -104,7 +104,6 @@ class DKT:
             {"gp": optax.adam(gp_lr), "feature": optax.adam(feature_lr)},
             param_labels={"gp": "gp", "feature": "feature"},
         )
-        self._jit_cache: dict = {}
 
     # -- init --------------------------------------------------------------
 
@@ -127,23 +126,11 @@ class DKT:
         """L2-normalised deep features. train=True uses batch-stat BN and
         returns (z, batch_stats_updates); train=False (the reference's
         model.eval() test protocol) uses running averages and returns
-        (z, None). BN statistics stay f32 even in the bf16 trunk."""
-        fvars = params["feature"]
-        if jnp.issubdtype(x_flat.dtype, jnp.integer):
-            # uint8 host pipeline: normalise on device BEFORE the bf16 cast
-            # (the cast would otherwise erase the integer marker the trunk's
-            # preprocess_input keys on)
-            from ..models.backbones import preprocess_input
-
-            x_flat = preprocess_input(x_flat)
-        if self.feature_dtype != jnp.float32:
-            # cast weights only — BN running statistics stay f32
-            fvars = {**fvars, "params": jax.tree.map(
-                lambda a: a.astype(self.feature_dtype)
-                if a.dtype == jnp.float32 else a, fvars["params"])}
-            x_flat = x_flat.astype(self.feature_dtype)
-        z, stats = apply_trunk(self.feature, fvars, x_flat, train)
-        z = z.astype(jnp.float32)
+        (z, None). The mixed-precision law (bf16 weights, f32 BN stats,
+        uint8 preprocessed before the cast, f32 features out) lives in
+        base.apply_trunk — one copy for every method."""
+        z, stats = apply_trunk(self.feature, params["feature"], x_flat,
+                               train, dtype=self.feature_dtype)
         if self.normalize:
             z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
         return z, stats

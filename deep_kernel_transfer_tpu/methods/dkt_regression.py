@@ -65,8 +65,13 @@ class DKTRegression:
 
     # -- core --------------------------------------------------------------
 
-    def _features(self, params, x: Array) -> Array:
-        return self.feature.apply(params["feature"], x)
+    def _features(self, params, x: Array, train: bool = True) -> Array:
+        """The regression track supports stat-free trunks only (Conv3/MLP2,
+        like the reference): a BatchNorm trunk would need the
+        mutable=['batch_stats'] machinery of the classification track
+        (methods/base.apply_trunk); train is threaded so eval paths see
+        eval-mode semantics either way."""
+        return self.feature.apply(params["feature"], x, train=train)
 
     def task_loss(self, params, x: Array, y: Array) -> Array:
         """-MLL of one task, GP conditioned on all its points
@@ -107,7 +112,9 @@ class DKTRegression:
         )
         noise = self.gp.likelihood.noise(params["gp"]["likelihood"])
         return (
-            DKTRegressionState(params, opt_state, state.step + 1),
+            # one optimizer update was applied PER task: step counts them
+            # all (the reference's per-person step count)
+            DKTRegressionState(params, opt_state, state.step + xb.shape[0]),
             {"loss": jnp.mean(losses), "noise": noise},
         )
 
@@ -120,7 +127,7 @@ class DKTRegression:
 
         if self.kernel_type != "spectral":
             return state
-        z = self._features(state.params, x)
+        z = self._features(state.params, x, train=False)
         kernel_params = initialize_spectral_from_data(
             state.params["gp"]["kernel"], z, y, key)
         params = dict(state.params)
@@ -134,8 +141,8 @@ class DKTRegression:
         """Posterior (with observation noise) at query points: the
         `likelihood(model(z_query))` path of reference
         methods/DKT_regression.py:90-93. Returns a MultivariateNormal."""
-        z_s = self._features(params, x_support)
-        z_q = self._features(params, x_query)
+        z_s = self._features(params, x_support, train=False)
+        z_q = self._features(params, x_query, train=False)
         post = self.gp.posterior(params["gp"], z_s, y_support, z_q)
         return self.gp.likelihood(params["gp"]["likelihood"], post)
 
