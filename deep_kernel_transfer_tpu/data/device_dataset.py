@@ -91,9 +91,9 @@ class DeviceDataset:
                   f"({host.nbytes / 1e6:.1f} MB uint8) -> device")
 
         counts = np.array([len(sub[c]) for c in classes], np.int32)
-        # wrap-padded per-class image-id table: slot j of class c is image
-        # j % count(c); slots beyond count duplicate images uniformly, which
-        # is what the with-replacement fallback needs (see sample rules)
+        # per-class image-id table: slot j of class c is image j % count(c).
+        # Only the first count(c) slots are ever indexed (_sample_ids);
+        # the wrap padding just keeps the array rectangular
         width = max(int(counts.max()), min_slots)
         table = np.empty((len(classes), width), np.int32)
         for ci, c in enumerate(classes):
@@ -116,15 +116,22 @@ class DeviceDataset:
         """Multi-device placement: replicate the staged split over the mesh
         (gathers stay chip-local) and emit episode batches sharded over the
         data axis, ready for make_sharded_train_step / make_sharded_eval
-        (parallel/mesh.py)."""
+        (parallel/mesh.py).
+
+        Returns a shallow COPY with the new placement — the receiver (often
+        the process-level cached_dataset singleton) is left untouched, so a
+        later caller without a mesh still gets single-device behavior."""
+        import copy
+
         from ..parallel.mesh import episode_sharding, replicated
 
         rep = replicated(mesh)
-        self.images = jax.device_put(self.images, rep)
-        self.table = jax.device_put(self.table, rep)
-        self.counts = jax.device_put(self.counts, rep)
-        self._episode_sharding = episode_sharding(mesh)
-        return self
+        new = copy.copy(self)
+        new.images = jax.device_put(self.images, rep)
+        new.table = jax.device_put(self.table, rep)
+        new.counts = jax.device_put(self.counts, rep)
+        new._episode_sharding = episode_sharding(mesh)
+        return new
 
     # ---------------------------------------------------------------- sample
     def sample_episode_ids(self, key, n_way: int, k: int, batch: int):
@@ -279,8 +286,11 @@ def fused_protocol_accs(eval_chunk, model, ds: "DeviceDataset", params, key,
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _sample_ids(table, counts, key, n_way: int, k: int, batch: int):
     """Episode composition on device: n_way distinct classes, then k images
-    per class without replacement (all wrap slots open — i.e. uniform with
-    replacement — only when the class holds fewer than k images)."""
+    per class without replacement; a class with fewer than k images falls
+    back to EXACTLY uniform with-replacement draws over its count (the
+    wrap-tiled slot table is non-uniform when width % count != 0, so the
+    fallback indexes floor(u * count) directly — matching the host path's
+    rng.choice(replace=True))."""
     n_class, width = table.shape
 
     def one(key):
@@ -288,9 +298,13 @@ def _sample_ids(table, counts, key, n_way: int, k: int, batch: int):
         ways = jax.random.permutation(kw, n_class)[:n_way]
         cnt = counts[ways]                                     # [n_way]
         u = jax.random.uniform(ki, (n_way, width))
-        limit = jnp.where(cnt >= k, cnt, width)[:, None]
-        u = jnp.where(jnp.arange(width)[None, :] < limit, u, jnp.inf)
-        picks = jnp.argsort(u, axis=1)[:, :k]                  # [n_way, k]
+        # without replacement among each class's first cnt (real) slots
+        u_masked = jnp.where(jnp.arange(width)[None, :] < cnt[:, None],
+                             u, jnp.inf)
+        picks_wo = jnp.argsort(u_masked, axis=1)[:, :k]        # [n_way, k]
+        # with replacement: k iid uniform slots in [0, cnt)
+        picks_w = jnp.floor(u[:, :k] * cnt[:, None]).astype(jnp.int32)
+        picks = jnp.where((cnt >= k)[:, None], picks_wo, picks_w)
         return table[ways[:, None], picks]
 
     return jax.vmap(one)(jax.random.split(key, batch))

@@ -129,6 +129,28 @@ class MethodState(NamedTuple):
     step: Array
 
 
+def train_step_body(method, state, xb):
+    """The one training-step program: value_and_grad over the episode batch
+    -> optimizer update -> BN running-average merge (per-episode updates
+    averaged by merge_stats; zero-grad leaves were untouched by Adam).
+
+    Shared by the single-device jitted path (EpisodicMethod.train_step)
+    and the episode-sharded path (parallel.mesh.make_sharded_train_step),
+    so the two can never drift apart. Under a sharded episode axis the
+    jnp.mean inside batch_loss_train / merge_stats IS the psum."""
+    import optax
+
+    (loss, stats), grads = jax.value_and_grad(
+        method.batch_loss_train, has_aux=True)(state.params, xb)
+    updates, opt_state = method.tx.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    for key, st in (stats or {}).items():
+        params = {**params, key: merge_stats(params[key], st)}
+    return state._replace(params=params, opt_state=opt_state,
+                          step=state.step + 1), {"loss": loss}
+
+
 class EpisodicMethod:
     """Shared functional train/eval machinery for the comparison methods.
 
@@ -178,23 +200,7 @@ class EpisodicMethod:
         # jit once per (self, shape); cache on the instance.
         fn = self.__dict__.get("_train_step_fn")
         if fn is None:
-            import jax as _jax
-
-            def _step(state, xb):
-                (loss, stats), grads = _jax.value_and_grad(
-                    self.batch_loss_train, has_aux=True)(state.params, xb)
-                updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                    state.params)
-                import optax as _optax
-
-                params = _optax.apply_updates(state.params, updates)
-                # BN running averages (per-episode updates averaged by
-                # merge_stats; zero-grad leaves were untouched by Adam)
-                for key, st in (stats or {}).items():
-                    params = {**params, key: merge_stats(params[key], st)}
-                return MethodState(params, opt_state, state.step + 1), {"loss": loss}
-
-            fn = _jax.jit(_step)
+            fn = jax.jit(lambda s, x: train_step_body(self, s, x))
             self.__dict__["_train_step_fn"] = fn
         return fn(state, xb)
 

@@ -35,11 +35,14 @@ Array = jax.Array
 ModuleDef = Any
 
 # single source of truth lives in data/transforms.py (the host f32 path);
-# the native C++ path pins the same values (src/image_pipeline.cc kMean/kStd)
+# the native C++ path pins the same values (src/image_pipeline.cc kMean/kStd).
+# Kept as PYTHON tuples, not jnp arrays: module-level jnp constants leak
+# tracers if the module is first imported inside a jit trace (CLAUDE.md;
+# same rule as device_aug._LUMA_W) and force backend init at import time.
 from ..data.transforms import IMAGENET_MEAN as _MEAN_NP, IMAGENET_STD as _STD_NP
 
-IMAGENET_MEAN = jnp.asarray(_MEAN_NP)
-IMAGENET_STD = jnp.asarray(_STD_NP)
+IMAGENET_MEAN = tuple(float(v) for v in _MEAN_NP)
+IMAGENET_STD = tuple(float(v) for v in _STD_NP)
 
 
 def preprocess_input(x: Array, imagenet: bool = True) -> Array:
@@ -53,7 +56,7 @@ def preprocess_input(x: Array, imagenet: bool = True) -> Array:
         return x
     x = x.astype(jnp.float32) / 255.0
     if imagenet:
-        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     return x
 
 
@@ -247,7 +250,13 @@ class SimpleBlock(nn.Module):
 
 
 class BottleneckBlock(nn.Module):
-    """ResNet bottleneck block (reference backbone.py:190-247)."""
+    """ResNet bottleneck block (reference backbone.py:190-247).
+
+    Parity notes (deliberate, NOT bugs): unlike SimpleBlock, the
+    reference's bottleneck shortcut has NO BatchNorm (backbone.py:235,
+    `short_out = self.shortcut(x)`), and its 3x3 conv KEEPS the bias
+    (backbone.py:207, no bias=False) — both quirks are reproduced here so
+    parameter trees match the reference layout."""
 
     out_dim: int
     half_res: bool

@@ -89,9 +89,7 @@ def make_sharded_train_step(method, mesh: Mesh, axis: str = DATA_AXIS,
     constrained to that layout inside the step and XLA inserts the
     all-gathers/reduce-scatters; other shardings are compiler-propagated.
     """
-    import optax
-
-    from ..methods.base import merge_stats
+    from ..methods.base import train_step_body
 
     x_sh = episode_sharding(mesh, axis)
 
@@ -99,17 +97,9 @@ def make_sharded_train_step(method, mesh: Mesh, axis: str = DATA_AXIS,
         if param_shardings is not None:
             state = state._replace(params=jax.lax.with_sharding_constraint(
                 state.params, param_shardings))
-        (loss, stats), grads = jax.value_and_grad(
-            method.batch_loss_train, has_aux=True)(state.params, xb)
-        updates, opt_state = method.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        # BN running averages, {param_top_key: updates} per the
-        # episode_loss_train contract (mean over the sharded episode axis)
-        for k, st in (stats or {}).items():
-            params = {**params, k: merge_stats(params[k], st)}
-        return state._replace(
-            params=params, opt_state=opt_state, step=state.step + 1
-        ), {"loss": loss}
+        # the SAME step body as the single-device path (methods/base.py):
+        # under the sharded episode axis its means lower to psum over ICI
+        return train_step_body(method, state, xb)
 
     if param_shardings is None:
         state_sh: Any = replicated(mesh)

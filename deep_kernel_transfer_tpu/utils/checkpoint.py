@@ -53,7 +53,18 @@ def load_checkpoint(path: str, example_tree: Any) -> tuple[Any, int]:
         if key not in z:
             raise KeyError(f"checkpoint {path} missing leaf {key}")
         arr = z[key]
-        leaves.append(arr.astype(np.asarray(example_leaf).dtype).reshape(np.shape(example_leaf)))
+        want = np.shape(example_leaf)
+        if arr.shape != want:
+            # permit only trivial (size-1-axis / scalar) reshapes; an
+            # equal-size layout change (e.g. a transposed kernel) would be
+            # silently scrambled by reshape, so it must fail loudly
+            if tuple(d for d in arr.shape if d != 1) != tuple(
+                    d for d in want if d != 1):
+                raise ValueError(
+                    f"checkpoint {path} leaf {key}: saved shape "
+                    f"{arr.shape} does not match expected {want}")
+            arr = arr.reshape(want)
+        leaves.append(arr.astype(np.asarray(example_leaf).dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves), epoch
 
 

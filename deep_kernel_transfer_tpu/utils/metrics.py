@@ -78,11 +78,13 @@ def ece(logits, labels, temperature: float = 1.0, n_bins: int = 15,
     return float(total)
 
 
-def calibrate_temperature(logits, labels, iterations: int = 50,
-                          lr: float = 0.01) -> float:
+def calibrate_temperature(logits, labels, iterations: int = 200,
+                          lr: float = 0.1) -> float:
     """Fit a scalar temperature by minimising NLL (the reference uses LBFGS,
     test_uncertainty.py:62-74; full-batch Adam on one scalar converges to
-    the same optimum)."""
+    the same optimum — cross-checked against scipy L-BFGS-B in
+    tests/test_utils_aux.py). The defaults ARE what executes: 200 Adam
+    steps at lr 0.1 on log-temperature."""
     import optax
 
     logits_j = jnp.asarray(np.asarray(logits), jnp.float32)
@@ -95,10 +97,10 @@ def calibrate_temperature(logits, labels, iterations: int = 50,
         )
 
     log_t = jnp.zeros(())
-    tx = optax.adam(lr * 10)
+    tx = optax.adam(lr)
     opt_state = tx.init(log_t)
     grad_fn = jax.jit(jax.value_and_grad(nll))
-    for _ in range(iterations * 4):
+    for _ in range(iterations):
         _, g = grad_fn(log_t)
         updates, opt_state = tx.update(g, opt_state)
         log_t = optax.apply_updates(log_t, updates)

@@ -135,7 +135,7 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
             # transfers inside the 600-episode loop (data/device_dataset.py)
             dds = cached_dataset(novel_file, image_size, verbose=True)
             if mesh is not None:
-                dds.shard(mesh)
+                dds = dds.shard(mesh)
             loader = dds.epoch(seed, n_way, n_support, n_query,
                                n_episodes=params_cli.n_iter,
                                episode_batch=episode_batch)

@@ -133,8 +133,8 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
                                  canvas=params_cli.train_aug, verbose=True)
         val_ds = cached_dataset(val_file, image_size, verbose=True)
         if mesh is not None:
-            base_ds.shard(mesh)
-            val_ds.shard(mesh)
+            base_ds = base_ds.shard(mesh)
+            val_ds = val_ds.shard(mesh)
         aug_to = image_size if params_cli.train_aug else None
 
         def base_iter(epoch):
