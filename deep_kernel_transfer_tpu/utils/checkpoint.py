@@ -41,6 +41,31 @@ def save_checkpoint(path: str, tree: Any, epoch: int = -1) -> None:
         f.write(buf.getvalue())
 
 
+def load_params_checkpoint(path: str, example_tree: Any, *,
+                           method_name: str | None = None,
+                           model: Any = None,
+                           image_size: int | None = None) -> tuple[Any, int]:
+    """load_checkpoint that ALSO accepts the reference's torch checkpoints.
+
+    A reference user pointing our CLIs at their existing `save/checkpoints`
+    tree (torch.save payloads, reference train.py:57-65) gets their trained
+    weights imported transparently (utils/torch_import.py); our own npz
+    payloads load as before. The torch path needs the method context
+    (`method_name`, the method object, and the image size for flatten-
+    permutation of feature-space heads)."""
+    from .torch_import import import_method_checkpoint, is_torch_checkpoint
+
+    if is_torch_checkpoint(path):
+        if model is None or method_name is None:
+            raise ValueError(
+                f"{path} is a reference torch checkpoint; importing it "
+                "requires the method context (method_name/model)")
+        print(f"importing reference torch checkpoint {path}")
+        return import_method_checkpoint(path, method_name, model,
+                                        example_tree, image_size or 84)
+    return load_checkpoint(path, example_tree)
+
+
 def load_checkpoint(path: str, example_tree: Any) -> tuple[Any, int]:
     """Rebuild a pytree with the structure of `example_tree` from `path`."""
     with open(path, "rb") as f:
@@ -91,7 +116,8 @@ def get_best_file(checkpoint_dir: str) -> Optional[str]:
     return get_resume_file(checkpoint_dir)
 
 
-def warmup_from_baseline(warm_dir: str, target_params: Any) -> Any:
+def warmup_from_baseline(warm_dir: str, target_params: Any,
+                         backbone: Any = None) -> Any:
     """Warm-start the feature trunk from a baseline checkpoint.
 
     The reference renames `feature.`-prefixed state_dict keys into the target
@@ -99,18 +125,42 @@ def warmup_from_baseline(warm_dir: str, target_params: Any) -> Any:
     a 'backbone' submodule; we suffix-match each baseline backbone leaf path
     against the target pytree's leaf paths (which may or may not contain a
     'backbone' level, depending on the method's module nesting) and replace
-    the matching leaves.
+    the matching leaves. A reference torch baseline checkpoint works too
+    when `backbone` (the flax trunk module) is given.
     """
     src_file = get_best_file(warm_dir)
     if src_file is None:
         raise ValueError(f"no warmup checkpoint found in {warm_dir}")
-    return load_backbone_from(src_file, target_params)
+    return load_backbone_from(src_file, target_params, backbone=backbone)
 
 
-def load_backbone_from(src_file: str, target_params: Any) -> Any:
+def load_backbone_from(src_file: str, target_params: Any,
+                       backbone: Any = None) -> Any:
     """Graft a checkpoint's feature-trunk leaves into `target_params` by
     suffix path matching (handles both 'backbone'-wrapped checkpoints and
-    bare-trunk ones, e.g. ProtoNet where 'feature' IS the backbone)."""
+    bare-trunk ones, e.g. ProtoNet where 'feature' IS the backbone).
+
+    Accepts this repo's npz payloads AND the reference's torch checkpoints
+    (the latter need `backbone`, the flax trunk module, to drive the key
+    translation in utils/torch_import.py)."""
+    from . import torch_import as _ti
+
+    if _ti.is_torch_checkpoint(src_file):
+        if backbone is None:
+            raise ValueError(
+                f"{src_file} is a reference torch checkpoint; grafting its "
+                "trunk requires the flax backbone module")
+        print(f"importing reference torch trunk from {src_file}")
+        state, _ = _ti.load_torch_state(src_file)
+        fvars = _ti.import_backbone(state, backbone, prefix="feature.")
+        rel = {}
+        for path_t, leaf in jax.tree_util.tree_flatten_with_path(fvars)[0]:
+            key = jax.tree_util.keystr(path_t)
+            # strip the leading ['params'] / ['batch_stats'] level: the
+            # suffix below matches either target nesting; params vs stats
+            # cannot collide (leaf names scale/bias vs mean/var differ)
+            rel[key[key.index("]") + 1:]] = np.asarray(leaf)
+        return _graft_suffix_leaves(src_file, rel, target_params)
     with open(src_file, "rb") as f:
         z = np.load(io.BytesIO(f.read()), allow_pickle=False)
     rel = {}
@@ -122,13 +172,25 @@ def load_backbone_from(src_file: str, target_params: Any) -> Any:
             break
     if not rel:
         raise ValueError(f"{src_file} has no backbone/feature leaves")
+    return _graft_suffix_leaves(src_file, rel, target_params)
 
+
+def _graft_suffix_leaves(src_file: str, rel: dict, target_params: Any) -> Any:
+    """Replace target leaves whose path ends with a key of `rel` (and whose
+    shape matches). LONGEST suffix wins: rel keys are full paths from the
+    backbone root, so a leaf's own key is always its longest match — a
+    shorter key that happens to share the tail (e.g. a ResNet's stem
+    `['EpisodicBatchNorm_0']['scale']` vs a block's
+    `['SimpleBlock_0']['EpisodicBatchNorm_0']['scale']`, same shape) must
+    not shadow it."""
+
+    by_len = sorted(rel.items(), key=lambda kv: len(kv[0]), reverse=True)
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(target_params)
     leaves, hits = [], 0
     for path_t, leaf in paths_leaves:
         key = jax.tree_util.keystr(path_t)
         replaced = leaf
-        for suffix, arr in rel.items():
+        for suffix, arr in by_len:
             if key.endswith(suffix) and arr.shape == np.shape(leaf):
                 replaced = arr.astype(np.asarray(leaf).dtype)
                 hits += 1

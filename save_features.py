@@ -71,7 +71,7 @@ def main(argv=None):
         backbone = model_dict[params_cli.model]()
     example = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
     bvars = backbone.init(jax.random.PRNGKey(0), example)
-    bvars = load_backbone_from(ckpt_file, bvars)
+    bvars = load_backbone_from(ckpt_file, bvars, backbone=backbone)
 
     # eval-mode BN: running statistics -> deterministic per-image features
     embed = jax.jit(lambda x: backbone.apply(bvars, x, train=False))

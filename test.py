@@ -36,7 +36,7 @@ from deep_kernel_transfer_tpu.models.backbones import feat_dims
 from deep_kernel_transfer_tpu.utils.checkpoint import (
     get_assigned_file,
     get_best_file,
-    load_checkpoint,
+    load_params_checkpoint,
 )
 from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
 
@@ -115,7 +115,9 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
         state = model.init(jax.random.PRNGKey(seed), example)
         params = state.params
         if ckpt_file is not None:
-            params, _ = load_checkpoint(ckpt_file, params)
+            params, _ = load_params_checkpoint(
+                ckpt_file, params, method_name=params_cli.method,
+                model=model, image_size=image_size)
             print(f"loaded {ckpt_file}")
         # the special DKT heads (--laplace / --adaptation) batch episodes
         # the same way as the standard path: one vmapped dispatch per
@@ -213,7 +215,9 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
         state = model.init(jax.random.PRNGKey(seed), example)
         params = state.params
         if ckpt_file is not None:
-            params, _ = load_checkpoint(ckpt_file, params)
+            params, _ = load_params_checkpoint(
+                ckpt_file, params, method_name=params_cli.method,
+                model=model, image_size=image_size)
         model._loaded_params = params
 
     accs = np.asarray([

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from deep_kernel_transfer_tpu import factory
 from deep_kernel_transfer_tpu.data import get_batch, test_people
 from deep_kernel_transfer_tpu.io_utils import parse_args_regression
-from deep_kernel_transfer_tpu.utils.checkpoint import load_checkpoint
+from deep_kernel_transfer_tpu.utils.checkpoint import load_params_checkpoint
 from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
 from train_regression import build_regression_method
 
@@ -33,7 +33,11 @@ def main(argv=None):
 
     ckpt_dir = factory.regression_checkpoint_dir(params_cli)
     ckpt_file = os.path.join(ckpt_dir, "best_model.tar")
-    params, _ = load_checkpoint(ckpt_file, state.params)
+    params, _ = load_params_checkpoint(
+        ckpt_file, state.params,
+        method_name=("DKT_regression" if params_cli.method == "DKT"
+                     else params_cli.method),
+        model=model, image_size=100)
     print(f"loaded {ckpt_file}")
 
     mses = []

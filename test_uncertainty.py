@@ -35,7 +35,7 @@ from deep_kernel_transfer_tpu.methods.base import episode_labels
 from deep_kernel_transfer_tpu.utils.checkpoint import (
     get_assigned_file,
     get_best_file,
-    load_checkpoint,
+    load_params_checkpoint,
 )
 from deep_kernel_transfer_tpu.utils.metrics import calibrate_temperature, ece
 from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
@@ -103,7 +103,9 @@ def _load_params(params_cli, model, image_size, n_support):
     ckpt_file = (get_assigned_file(ckpt_dir, params_cli.save_iter)
                  if params_cli.save_iter != -1 else get_best_file(ckpt_dir))
     if ckpt_file is not None:
-        params, _ = load_checkpoint(ckpt_file, params)
+        params, _ = load_params_checkpoint(
+            ckpt_file, params, method_name=params_cli.method,
+            model=model, image_size=image_size)
         print(f"loaded {ckpt_file}")
     else:
         print(f"[WARNING] no checkpoint found in {ckpt_dir}")

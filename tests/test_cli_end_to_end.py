@@ -248,3 +248,32 @@ def test_episode_parallel_mesh_cli(dataset_cwd):
     test_cli.main(COMMON + ["--method=DKT", "--n_iter=10", "--repeat=1",
                             "--episode_batch=8", "--n_devices=8"])
     assert "omniglot-Conv4S-DKT" in open("record/results.txt").read()
+
+
+def test_reference_torch_checkpoint_in_test_cli(dataset_cwd):
+    """A user's REFERENCE torch checkpoint (torch.save payload with the
+    reference's state_dict key layout) dropped into the checkpoint dir is
+    imported transparently by test.py (utils/torch_import.py)."""
+    torch = pytest.importorskip("torch")
+    from test_torch_import import TConvNet, _randomize, _state
+
+    t = _randomize(TConvNet(4, in_ch=1), seed=11)
+    t.trunk.add_module("bn_out", torch.nn.BatchNorm1d(64))
+    _randomize(t.trunk.bn_out, seed=12)
+    state = _state(t)
+    rng = np.random.RandomState(11)
+    for w in range(3):
+        p = f"model.models.{w}."
+        state[f"{p}mean_module.raw_constant"] = torch.tensor(
+            float(rng.randn()) * 0.1)
+        state[f"{p}covar_module.raw_outputscale"] = torch.tensor(
+            float(rng.randn()))
+    state = {k: (torch.as_tensor(v) if not torch.is_tensor(v) else v)
+             for k, v in state.items()}
+    ckpt_dir = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    torch.save({"epoch": 99, "state": state}, f"{ckpt_dir}/99.tar")
+
+    test_cli.main(COMMON + ["--method=DKT", "--n_iter=2", "--repeat=1",
+                            "--save_iter=99"])
+    assert "omniglot-Conv4S-DKT" in open("record/results.txt").read()

@@ -24,7 +24,7 @@ from deep_kernel_transfer_tpu.io_utils import parse_args
 from deep_kernel_transfer_tpu.methods import DKT, MAML, BaselineTrain
 from deep_kernel_transfer_tpu.utils.checkpoint import (
     get_resume_file,
-    load_checkpoint,
+    load_params_checkpoint,
     save_checkpoint,
 )
 from deep_kernel_transfer_tpu.utils.logger import MetricsLogger
@@ -68,7 +68,9 @@ def train_baseline(params_cli, base_file, image_size, stop_epoch, ckpt_dir):
     if params_cli.resume:
         resume_file = get_resume_file(ckpt_dir)
         if resume_file is not None:
-            state_params, epoch = load_checkpoint(resume_file, state.params)
+            state_params, epoch = load_params_checkpoint(
+                resume_file, state.params, method_name=params_cli.method,
+                model=model, image_size=image_size)
             state = state._replace(params=state_params)
             start_epoch = epoch + 1
             print(f"resumed from {resume_file} (epoch {epoch})")
@@ -231,7 +233,9 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
     if params_cli.resume:
         resume_file = get_resume_file(ckpt_dir)
         if resume_file is not None:
-            state_params, epoch = load_checkpoint(resume_file, state.params)
+            state_params, epoch = load_params_checkpoint(
+                resume_file, state.params, method_name=params_cli.method,
+                model=model, image_size=image_size)
             state = state._replace(params=state_params)
             start_epoch = epoch + 1
             print(f"resumed from {resume_file} (epoch {epoch})")
@@ -244,8 +248,11 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
             configs.save_dir, "checkpoints", params_cli.dataset,
             f"{params_cli.model}_baseline"
             + ("_aug" if params_cli.train_aug else ""))
+        from deep_kernel_transfer_tpu.utils.torch_import import method_backbone
+
         state = state._replace(
-            params=warmup_from_baseline(warm_dir, state.params))
+            params=warmup_from_baseline(warm_dir, state.params,
+                                        backbone=method_backbone(model)))
 
     # scalar stream (reference's optional tensorboardX writer,
     # methods/DKT.py:16-21): JSONL in <ckpt_dir>/log + TB if importable
