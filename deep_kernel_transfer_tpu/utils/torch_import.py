@@ -64,19 +64,19 @@ __all__ = [
 
 
 def is_torch_checkpoint(path: str) -> bool:
-    """True for a torch zip-serialised file, False for this repo's npz
-    payload (both are zip archives; a torch archive contains `data.pkl`,
-    ours contains `__epoch__.npy`)."""
+    """True for a torch-serialised file, False for this repo's npz payload.
+    Modern torch archives are zips containing `data.pkl`; ours are np.savez
+    zips containing `__epoch__.npy`. A non-zip file can only be a LEGACY
+    (pre-torch-1.6) pickle checkpoint — this repo never writes non-zip
+    payloads — so it routes to torch.load too."""
     try:
         with zipfile.ZipFile(path) as zf:
             names = zf.namelist()
-    except (zipfile.BadZipFile, OSError):
-        return False  # legacy (non-zip) torch files are handled by torch.load
-    if any(n.endswith("data.pkl") for n in names):
-        return True
-    if "__epoch__.npy" in names:
+    except zipfile.BadZipFile:
+        return True  # legacy torch pickle (our payloads are always zips)
+    except OSError:
         return False
-    return False
+    return any(n.endswith("data.pkl") for n in names)
 
 
 def load_torch_state(path: str) -> tuple[dict[str, np.ndarray], int]:

@@ -277,3 +277,28 @@ def test_reference_torch_checkpoint_in_test_cli(dataset_cwd):
     test_cli.main(COMMON + ["--method=DKT", "--n_iter=2", "--repeat=1",
                             "--save_iter=99"])
     assert "omniglot-Conv4S-DKT" in open("record/results.txt").read()
+
+def test_export_checkpoint_cli(dataset_cwd, tmp_path):
+    """export_checkpoint.py turns a trained npz checkpoint into a
+    reference-format torch.save file with the reference's key layout
+    (utils/torch_export.py; reference train.py:57-65)."""
+    torch = pytest.importorskip("torch")
+    import export_checkpoint as export_cli
+
+    ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
+    assert os.path.isfile(ckpt), "run order: DKT train must come first"
+    out = str(tmp_path / "exported.torch.tar")
+    export_cli.main(COMMON + ["--method=DKT", f"--out={out}"])
+
+    blob = torch.load(out, map_location="cpu", weights_only=False)
+    state = blob["state"]
+    for k in ("feature.trunk.0.C.weight", "feature.trunk.0.trunk.0.weight",
+              "feature.trunk.3.BN.running_var",
+              "feature.trunk.bn_out.running_mean",
+              "model.models.0.covar_module.raw_outputscale",
+              "model.models.2.likelihood.noise_covar.raw_noise"):
+        assert k in state, k
+    assert state["feature.trunk.0.C.weight"].shape == (64, 1, 3, 3)
+    # noise constraint inverse: softplus(raw) + 1e-4 == fixed 0.1
+    raw = float(state["model.models.0.likelihood.noise_covar.raw_noise"])
+    assert abs(float(np.log1p(np.exp(raw))) + 1e-4 - 0.1) < 1e-6

@@ -535,3 +535,167 @@ def test_feature_transfer_import_parity():
     got = np.asarray(ft.net.apply(new["net"],
                                   jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_load_backbone_from_torch_and_npz(tmp_path):
+    """Warm-start grafting (utils/checkpoint.load_backbone_from) from BOTH a
+    reference torch baseline checkpoint and this repo's own npz payload,
+    into a DKT target tree (trunk nested under feature/backbone)."""
+    from deep_kernel_transfer_tpu.methods import DKT, BaselineTrain
+    from deep_kernel_transfer_tpu.utils.checkpoint import (
+        load_backbone_from,
+        save_checkpoint,
+    )
+
+    model = DKT(B.Conv4(), n_way=3, n_support=2, kernel_type="rbf",
+                feature_dtype="float32")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((3, 4, 84, 84, 3), jnp.float32)).params
+
+    # torch baseline: reference layout, feature.-prefixed trunk keys
+    t = _randomize(TConvNet(4), seed=30)
+    tfile = os.path.join(tmp_path, "best_model.tar")
+    torch.save({"epoch": 5, "state": {k: torch.as_tensor(v)
+                                      for k, v in _state(t).items()}}, tfile)
+    new = load_backbone_from(tfile, params, backbone=B.Conv4())
+    want = t.trunk[0].C.weight.detach().numpy().transpose(2, 3, 1, 0)
+    got = new["feature"]["params"]["backbone"]["ConvBlock_0"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    want_var = t.trunk[2].BN.running_var.detach().numpy()
+    got_var = new["feature"]["batch_stats"]["backbone"]["ConvBlock_2"][
+        "EpisodicBatchNorm_0"]["var"]
+    np.testing.assert_allclose(np.asarray(got_var), want_var, rtol=1e-6)
+    # non-trunk leaves untouched
+    np.testing.assert_array_equal(np.asarray(new["gp"]["mean"]["constant"]),
+                                  np.asarray(params["gp"]["mean"]["constant"]))
+    # torch ckpt without the backbone module is an explicit error
+    with pytest.raises(ValueError, match="requires the flax backbone"):
+        load_backbone_from(tfile, params)
+
+    # npz: our own BaselineTrain checkpoint grafts the same way
+    bl = BaselineTrain(B.Conv4(), 10)
+    bl_params = bl.init(jax.random.PRNGKey(1),
+                        jnp.zeros((2, 84, 84, 3), jnp.float32)).params
+    nfile = os.path.join(tmp_path, "90.tar")
+    save_checkpoint(nfile, bl_params, epoch=90)
+    new2 = load_backbone_from(nfile, params)
+    np.testing.assert_allclose(
+        np.asarray(new2["feature"]["params"]["backbone"]["ConvBlock_0"]
+                   ["Conv_0"]["kernel"]),
+        np.asarray(bl_params["net"]["params"]["backbone"]["ConvBlock_0"]
+                   ["Conv_0"]["kernel"]), rtol=1e-6)
+
+
+def test_legacy_torch_checkpoint_detection(tmp_path):
+    """Pre-torch-1.6 (non-zip pickle) checkpoints route to the torch
+    importer too — this repo's own payloads are always zips."""
+    lfile = os.path.join(tmp_path, "legacy.tar")
+    torch.save({"epoch": 3, "state": {"w": torch.ones(2)}}, lfile,
+               _use_new_zipfile_serialization=False)
+    assert TI.is_torch_checkpoint(lfile)
+    state, epoch = TI.load_torch_state(lfile)
+    assert epoch == 3 and np.allclose(state["w"], 1.0)
+
+
+# -- export round trips (utils/torch_export.py) ----------------------------
+
+
+def _tree_allclose(a, b, rtol=1e-5, atol=1e-5):
+    la = jax.tree_util.tree_flatten_with_path(a)[0]
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for (p, x), y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=rtol, atol=atol,
+            err_msg=jax.tree_util.keystr(p))
+
+
+def test_export_roundtrip_dkt_bncossim():
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.utils import torch_export as TE
+
+    model = DKT(B.Conv4(), n_way=3, n_support=2, kernel_type="bncossim",
+                feature_dtype="float32")
+    x = jnp.zeros((3, 4, 84, 84, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x).params
+    template = model.init(jax.random.PRNGKey(7), x).params  # different seed
+
+    state = TE.export_method_state("DKT", model, params, 84)
+    back = TI.import_dkt(state, model, template, 84)
+    _tree_allclose(params, back)
+
+
+def test_export_roundtrip_baseline_pp_and_maml():
+    from deep_kernel_transfer_tpu.methods import MAML, BaselineTrain
+    from deep_kernel_transfer_tpu.utils import torch_export as TE
+
+    bl = BaselineTrain(B.Conv4(), 10, loss_type="dist")
+    xb = jnp.zeros((2, 84, 84, 3), jnp.float32)
+    params = bl.init(jax.random.PRNGKey(0), xb).params
+    template = bl.init(jax.random.PRNGKey(7), xb).params
+    back = TI.import_baseline(
+        TE.export_method_state("baseline++", bl, params, 84),
+        bl, template, 84)
+    _tree_allclose(params, back)
+
+    mm = MAML(B.Conv4(), n_way=3, n_support=2)
+    xe = jnp.zeros((3, 4, 84, 84, 3), jnp.float32)
+    params = mm.init_params(jax.random.PRNGKey(0), xe)
+    template = mm.init_params(jax.random.PRNGKey(7), xe)
+    back = TI.import_maml(
+        TE.export_method_state("maml", mm, params, 84), mm, template, 84)
+    _tree_allclose(params, back)
+
+
+def test_export_roundtrip_matchingnet_relationnet():
+    from deep_kernel_transfer_tpu.methods import MatchingNet, RelationNet
+    from deep_kernel_transfer_tpu.utils import torch_export as TE
+
+    mn = MatchingNet(B.Conv4(), feat_dim=1600, n_way=3, n_support=2,
+                     feature_dtype="float32")
+    xe = jnp.zeros((3, 4, 84, 84, 3), jnp.float32)
+    params = mn.init_params(jax.random.PRNGKey(0), xe)
+    template = mn.init_params(jax.random.PRNGKey(7), xe)
+    back = TI.import_matchingnet(
+        TE.export_method_state("matchingnet", mn, params, 84),
+        mn, template, 84)
+    _tree_allclose(params, back)
+
+    rn = RelationNet(B.Conv4NP(), feat_shape=(19, 19, 64), n_way=3,
+                     n_support=2, feature_dtype="float32")
+    params = rn.init_params(jax.random.PRNGKey(0), xe)
+    template = rn.init_params(jax.random.PRNGKey(7), xe)
+    back = TI.import_relationnet(
+        TE.export_method_state("relationnet", rn, params, 84),
+        rn, template)
+    _tree_allclose(params, back)
+
+
+def test_export_roundtrip_regression_methods(tmp_path):
+    """DKT spectral regression (ARD perms + noise constraint inverse) and
+    FeatureTransfer, through the FILE layer both ways."""
+    from deep_kernel_transfer_tpu.methods import DKTRegression
+    from deep_kernel_transfer_tpu.methods.feature_transfer import (
+        FeatureTransfer,
+    )
+    from deep_kernel_transfer_tpu.utils import torch_export as TE
+
+    model = DKTRegression(B.Conv3(), feat_dim=2916, kernel_type="spectral")
+    x = jnp.zeros((4, 100, 100, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x).params
+    template = model.init(jax.random.PRNGKey(7), x).params
+    f = os.path.join(tmp_path, "reg.tar")
+    TE.export_method_checkpoint(f, "DKT_regression_spectral", model,
+                                params, 100)
+    assert TI.is_torch_checkpoint(f)
+    back, _ = TI.import_method_checkpoint(
+        f, "DKT_regression_spectral", model, template, 100)
+    _tree_allclose(params, back)
+
+    ft = FeatureTransfer(B.Conv3())
+    st = ft.init(jax.random.PRNGKey(0), x)
+    st2 = ft.init(jax.random.PRNGKey(7), x)
+    f2 = os.path.join(tmp_path, "ft.tar")
+    TE.export_method_checkpoint(f2, "transfer", ft, st.params, 100)
+    back, _ = TI.import_method_checkpoint(f2, "transfer", ft, st2.params, 100)
+    _tree_allclose(st.params, back)
