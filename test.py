@@ -255,6 +255,7 @@ def main(argv=None):
             f"{aug_str} {params_cli.n_shot}shot {params_cli.test_n_way}way_test")
         acc_str = f"{repeat} Test Acc = {acc:.2f}% +- {ci:.2f}%"
         f.write(f"Time: {timestamp}, Setting: {exp_setting}, Acc: {acc_str}\n")
+    return acc, ci
 
 
 if __name__ == "__main__":
