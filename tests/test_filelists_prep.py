@@ -80,3 +80,33 @@ def test_write_filelist_json_roundtrip(tmp_path):
     with open(p) as f:
         d = json.load(f)
     assert d["image_labels"] == [0, 0]
+
+
+def test_digits_real_filelists(tmp_path):
+    """benchmarks/digits_real.py writes a valid omniglot-layout filelist
+    from sklearn's bundled digits: disjoint base/novel classes, loadable by
+    the standard pipeline."""
+    bench_dir = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    sys.path.insert(0, bench_dir)
+    try:
+        from digits_real import make_digits_filelists
+    finally:
+        sys.path.remove(bench_dir)
+
+    make_digits_filelists(str(tmp_path))
+    fl = tmp_path / "filelists" / "omniglot"
+    with open(fl / "base.json") as f:
+        base = json.load(f)
+    with open(fl / "novel.json") as f:
+        novel = json.load(f)
+    assert set(base["image_labels"]) == {0, 1, 2, 3, 4}
+    assert set(novel["image_labels"]) == {5, 6, 7, 8, 9}
+    assert len(base["image_names"]) + len(novel["image_names"]) == 1797
+    img = Image.open(base["image_names"][0])
+    assert img.size == (28, 28)
+    # loadable through the standard episodic pipeline meta
+    from deep_kernel_transfer_tpu.data.filelist import FileListMeta
+
+    by_class = FileListMeta(str(fl / "novel.json")).by_class()
+    assert len(by_class) == 5
+    assert min(len(v) for v in by_class.values()) >= 16  # S+Q
