@@ -201,6 +201,28 @@ def bench_methods():
     return out
 
 
+def bench_resnet10_224():
+    """ResNet10 @ 224px — the big-backbone DKT config (CUB/miniImagenet
+    image size). Episode batch 16 is the measured knee (64.6 / 70.8 /
+    80.1 / 85.8 eps/s at B = 2 / 4 / 8 / 16)."""
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.models.backbones import ResNet10
+
+    model = DKT(ResNet10(), n_way=5, n_support=5, kernel_type="bncossim")
+    x1 = jnp.zeros((5, 20, 224, 224, 3), jnp.float32)
+    state = model.init(jax.random.PRNGKey(0), x1)
+    B = 16
+    xb = jax.random.uniform(jax.random.PRNGKey(1), (B,) + x1.shape)
+    holder = {"state": state}
+
+    def step(xb):
+        holder["state"], m = model.train_step(holder["state"], xb)
+        return m
+
+    dt = _time(step, (xb,), iters=6)
+    return {"resnet10_224_dkt_train_eps_per_sec": round(B / dt, 1)}
+
+
 def bench_gp_engine():
     from deep_kernel_transfer_tpu.gp import ExactGP, GaussianLikelihood, make_kernel
     from deep_kernel_transfer_tpu.gp.exact import init_batched, sum_mll
@@ -364,6 +386,7 @@ def main():
     for name, fn in (("train", bench_train), ("eval", bench_eval),
                      ("device_data", bench_device_data),
                      ("methods", bench_methods),
+                     ("resnet10", bench_resnet10_224),
                      ("gp", bench_gp_engine), ("woodbury", bench_woodbury),
                      ("host", bench_host_pipeline),
                      ("kernels", bench_kernels)):

@@ -19,7 +19,7 @@ precision=HIGHEST (Mosaic otherwise silently computes f32 dots in bf16 on
 this toolchain). The whole matrix lives in VMEM, which caps N at 512 under
 the 16 MB scoped-vmem limit (input + output pipelining buffers + the
 factorisation scratch); N=1024 needs the HBM-resident tiled variant
-(future work) and currently falls back to XLA.
+(built: hbm_cholesky.py) and currently falls back to XLA.
 
 Differentiation uses the standard Cholesky reverse-mode formula
 (Murray 2016) evaluated with XLA triangular solves over the kernel's L.

@@ -668,7 +668,8 @@ def import_method_checkpoint(path: str, method_name: str, model,
     if method_name in ("maml", "maml_approx"):
         return import_maml(state, model, params, image_size), epoch
     if method_name in ("DKT_regression", "DKT_regression_spectral"):
-        return import_dkt_regression(state, model, params), epoch
+        return import_dkt_regression(state, model, params,
+                                     image_size), epoch
     if method_name == "transfer":
         return import_feature_transfer(state, model, params,
                                        image_size), epoch
