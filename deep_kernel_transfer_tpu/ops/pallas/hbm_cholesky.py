@@ -17,8 +17,9 @@ where G(i,k) is either a tile of a precomputed HBM-resident K
 (`hbm_blocked_cholesky`) or — the fused mode `fused_gram_cholesky` —
 computed on the fly from the feature matrix Z as
 scale * Z_i @ Z_k^T (+ diag on the diagonal), so the N^2 Gram matrix is
-NEVER materialised in HBM: memory drops from O(N^2) to O(N*D) and the
-assembly read/write traffic disappears. This is the GP engine's
+NEVER materialised in HBM — the only N x N object is the output factor L
+itself, halving peak HBM (Gram + factor -> factor alone) and removing
+the Gram assembly read/write traffic. This is the GP engine's
 large-support-set regime (SURVEY.md §5: Gram-dimension blocking is this
 framework's sequence-parallel analog; the reference outsources it to
 GPyTorch's CUDA solvers).
@@ -46,9 +47,10 @@ N=4096) and stays 1.4-1.8x FASTER at every size measured. Round 1's
 the ~10-60 MB/s tunnel, so every large-output benchmark measured readback,
 not compute). The kernel therefore stays OFF the default path — XLA is
 the right production choice — and is kept as correct, tested
-infrastructure: it is the only path when the Gram matrix must not be
-materialised (fused mode streams Z tiles, O(N*D) live memory vs O(N^2)
-for XLA's assemble-then-factor), and for the linear-kernel family the GP
+infrastructure: it is the only path when a separate Gram buffer must not
+be materialised (fused mode streams Z tiles; the single N x N object is
+the output L, vs Gram + factor for XLA's assemble-then-factor), and for
+the linear-kernel family the GP
 engine's Woodbury path (gp/low_rank.py) is the true large-N answer
 (O(N*D^2), no N x N object at all).
 """
