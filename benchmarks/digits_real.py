@@ -1,13 +1,14 @@
-"""Real-image few-shot benchmark: sklearn's bundled handwritten digits.
+"""Real-image few-shot benchmarks: sklearn's bundled handwritten digits.
 
 The paper's image benchmarks (BASELINE.md) need datasets this zero-egress
 environment cannot download. The ONE real image dataset shipped offline in
 this image is scikit-learn's `load_digits` — 1,797 genuine 8x8 handwritten
-digits (a UCI/NIST-derived test set). This script turns it into a real-data
-few-shot classification benchmark with the reference's omniglot protocol
+digits (a UCI/NIST-derived test set). This script turns it into TWO
+real-data few-shot benchmarks with the reference's omniglot protocol
 shape (28px grayscale, Conv4S, 5-way, n_query=15, 600-episode eval with
 95% CI, multi-seed repeats — reference test.py:65,142,174):
 
+Default (within-digits split):
   * base split   = digit classes 0-4 (~900 images),
   * novel split  = digit classes 5-9 (disjoint classes, never seen),
   * val split    = base classes (model selection cannot leak novel data),
@@ -15,13 +16,19 @@ shape (28px grayscale, Conv4S, 5-way, n_query=15, 600-episode eval with
     the standard filelist pipeline (data/filelist.py) — the full production
     path, not an array shortcut.
 
-This is NOT a paper-parity number (the paper never ran this dataset); it is
-recorded as honest evidence that the framework *learns on real images*
-end-to-end through its CLIs: cross-class transfer from digits 0-4 to
-unseen digits 5-9. A 5-way random-guess floor is 20%.
+--cross (cross-domain, the cross_char analog): base/val = 200 SYNTHETIC
+stroke-glyph classes (random Bezier-stroke "characters", white-on-black
+like the digits, with per-image affine + noise jitter — the same
+many-base-class, character-like regime as the reference's
+omniglot->EMNIST cross_char), novel = ALL TEN real digit classes. Tests
+genuine domain transfer: no real digit is ever seen in training.
 
-Writes digits_real_* entries into benchmarks/report.json.
-Usage: python benchmarks/digits_real.py [--methods DKT,protonet]
+Neither is a paper-parity number (the paper never ran this dataset); they
+are honest evidence that the framework *learns on real images* end-to-end
+through its CLIs. A 5-way random-guess floor is 20%.
+
+Writes digits_real_* / digits_cross_* entries into benchmarks/report.json.
+Usage: python benchmarks/digits_real.py [--cross] [--methods DKT,protonet]
        [--shots 1,5] [--repeat 3] [--root DIR]
 """
 from __future__ import annotations
@@ -77,6 +84,78 @@ def make_digits_filelists(root: str) -> None:
     print(f"digits dataset ready: {len(names)} images -> {img_dir}")
 
 
+def _render_glyph_class(rng: np.ndarray, n_img: int) -> list:
+    """n_img 28x28 uint8 images of one synthetic stroke-glyph class:
+    2-4 quadratic Bezier strokes, jittered per image (small affine +
+    stroke-point noise), white-on-black like load_digits ink."""
+    from PIL import Image, ImageDraw
+
+    n_strokes = rng.randint(2, 5)
+    # class identity: stroke control points on a 20x20 box (28px canvas)
+    strokes = rng.rand(n_strokes, 3, 2) * 20 + 4
+    out = []
+    for _ in range(n_img):
+        img = Image.new("L", (28, 28), 0)
+        draw = ImageDraw.Draw(img)
+        ang = rng.randn() * 0.12
+        rot = np.array([[np.cos(ang), -np.sin(ang)],
+                        [np.sin(ang), np.cos(ang)]])
+        scale = 1.0 + rng.randn() * 0.08
+        shift = rng.randn(2) * 1.2
+        for s in strokes:
+            p = s + rng.randn(3, 2) * 0.6  # stroke-point jitter
+            p = (p - 14) @ rot.T * scale + 14 + shift
+            t = np.linspace(0, 1, 12)[:, None]
+            pts = ((1 - t) ** 2 * p[0] + 2 * t * (1 - t) * p[1]
+                   + t ** 2 * p[2])
+            draw.line([tuple(q) for q in pts], fill=255,
+                      width=int(rng.randint(2, 4)))
+        arr = np.asarray(img, np.uint8)
+        noise = (rng.rand(28, 28) * 40).astype(np.uint8)
+        out.append(np.maximum(arr, noise))
+    return out
+
+
+def make_cross_filelists(root: str, n_classes: int = 200,
+                         n_img: int = 20) -> None:
+    """Cross-domain layout: base/val = synthetic stroke glyphs,
+    novel = ALL 10 real digit classes."""
+    from PIL import Image
+
+    make_digits_filelists(root)  # writes the digit images + novel pool
+    fl = os.path.join(root, "filelists", "omniglot")
+    img_dir = os.path.join(fl, "glyphs")
+    done = os.path.join(img_dir, ".complete")
+    if not os.path.exists(done):
+        os.makedirs(img_dir, exist_ok=True)
+        rng = np.random.RandomState(11)
+        names, labels = [], []
+        for cl in range(n_classes):
+            for i, arr in enumerate(_render_glyph_class(rng, n_img)):
+                p = os.path.join(img_dir, f"g{cl}_{i}.jpg")
+                Image.fromarray(arr, mode="L").save(p, quality=95)
+                names.append(p)
+                labels.append(cl)
+        meta = {"label_names": [f"glyph_{c}" for c in range(n_classes)],
+                "image_names": names, "image_labels": labels}
+        for split in ("base", "val"):
+            with open(os.path.join(fl, f"{split}.json"), "w") as f:
+                json.dump(meta, f)
+        open(done, "w").close()
+        print(f"glyph base ready: {len(names)} images -> {img_dir}")
+    # novel = every real digit class (never seen in training)
+    from sklearn.datasets import load_digits
+
+    _, y = load_digits(return_X_y=True)
+    dig_dir = os.path.join(fl, "images")
+    names = [os.path.join(dig_dir, f"d{cl}_{i}.jpg")
+             for i, cl in enumerate(y)]
+    with open(os.path.join(fl, "novel.json"), "w") as f:
+        json.dump({"label_names": [f"digit_{c}" for c in range(10)],
+                   "image_names": names,
+                   "image_labels": [int(c) for c in y]}, f)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--methods", default="DKT,protonet")
@@ -84,13 +163,20 @@ def main():
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=-1,
                     help="-1 = the reference's default budget per method/shots")
-    ap.add_argument("--root", default="/tmp/_digits_real")
+    ap.add_argument("--cross", action="store_true",
+                    help="cross-domain: synthetic glyph base, real-digit novel")
+    ap.add_argument("--root", default=None)
     args = ap.parse_args()
+    root = args.root or ("/tmp/_digits_cross" if args.cross
+                         else "/tmp/_digits_real")
 
     report_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "report.json")
-    make_digits_filelists(args.root)
-    os.chdir(args.root)
+    if args.cross:
+        make_cross_filelists(root)
+    else:
+        make_digits_filelists(root)
+    os.chdir(root)
 
     import save_features as sf_cli
     import test as test_cli
@@ -109,7 +195,8 @@ def main():
             if method not in ("DKT", "maml", "maml_approx"):
                 sf_cli.main(common + ["--split=novel"])
             acc, ci = test_cli.main(common + [f"--repeat={args.repeat}"])
-            key = f"digits_real_{method.lower()}_5way_{shot}shot"
+            tag = "digits_cross" if args.cross else "digits_real"
+            key = f"{tag}_{method.lower()}_5way_{shot}shot"
             results[f"{key}_acc"] = round(acc, 2)
             results[f"{key}_ci95"] = round(ci, 2)
             results[f"{key}_train_s"] = round(train_s, 1)
@@ -119,11 +206,20 @@ def main():
     with open(report_path) as f:
         report = json.load(f)
     report.update(results)
-    report["digits_real_protocol"] = (
-        "sklearn load_digits (1797 real 8x8 handwritten digits) -> 28px "
-        "grayscale jpgs; base=digits 0-4, novel=digits 5-9 (disjoint), "
-        "val=base; reference omniglot protocol (Conv4S, n_query=15, "
-        "600-episode eval, multi-seed); random-guess floor 20%")
+    if args.cross:
+        report["digits_cross_protocol"] = (
+            "cross-domain cross_char analog: base/val = 200 synthetic "
+            "stroke-glyph classes x 20 imgs (Bezier strokes, affine+noise "
+            "jitter), novel = ALL 10 real digit classes (sklearn "
+            "load_digits; never seen in training); reference omniglot "
+            "protocol (Conv4S 28px, n_query=15, 600-episode eval, "
+            "multi-seed); random-guess floor 20%")
+    else:
+        report["digits_real_protocol"] = (
+            "sklearn load_digits (1797 real 8x8 handwritten digits) -> 28px "
+            "grayscale jpgs; base=digits 0-4, novel=digits 5-9 (disjoint), "
+            "val=base; reference omniglot protocol (Conv4S, n_query=15, "
+            "600-episode eval, multi-seed); random-guess floor 20%")
     with open(report_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in results.items()}))
