@@ -110,3 +110,30 @@ def test_digits_real_filelists(tmp_path):
     by_class = FileListMeta(str(fl / "novel.json")).by_class()
     assert len(by_class) == 5
     assert min(len(v) for v in by_class.values()) >= 16  # S+Q
+
+
+def test_cross_digits_filelists(tmp_path):
+    """--cross layout: synthetic glyph base/val, ALL 10 real digit classes
+    as novel; glyph images are white-on-black 28px like the digits."""
+    bench_dir = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    sys.path.insert(0, bench_dir)
+    try:
+        from digits_real import make_cross_filelists
+    finally:
+        sys.path.remove(bench_dir)
+
+    make_cross_filelists(str(tmp_path), n_classes=6, n_img=4)
+    fl = tmp_path / "filelists" / "omniglot"
+    with open(fl / "base.json") as f:
+        base = json.load(f)
+    with open(fl / "novel.json") as f:
+        novel = json.load(f)
+    assert len(set(base["image_labels"])) == 6
+    assert len(base["image_names"]) == 24
+    assert all("glyph" in n for n in base["label_names"])
+    assert set(novel["image_labels"]) == set(range(10))
+    assert len(novel["image_names"]) == 1797
+    arr = np.asarray(Image.open(base["image_names"][0]))
+    assert arr.shape[:2] == (28, 28)
+    assert arr.max() > 180  # strokes are bright on a dark canvas
+    assert np.median(arr) < 60
