@@ -44,6 +44,71 @@ from .filelist import FileListMeta
 from .transforms import TransformPipeline, load_image
 
 
+# ------------------------------------------------------------- stage cache
+# Staging decodes every image of a split; on the 1-core host that is the
+# whole cost of a --device_data run (~1,100 img/s native). The decoded
+# uint8 tensor is memoised on disk next to the filelist json, keyed by the
+# path list + each file's (mtime, size) + the staging geometry, so every
+# later CLI invocation (test.py --repeat seeds run in-process, but
+# train->test or repeated test.py runs are separate processes) stages at
+# disk-read speed instead of decode speed. Opt out: DKT_NO_STAGE_CACHE=1.
+
+
+def _stage_cache_paths(data_file: str, image_size: int,
+                       canvas: bool) -> tuple[str, str]:
+    tag = f"{image_size}{'c' if canvas else ''}"
+    base = f"{data_file}.stage{tag}"
+    return base + ".npy", base + ".key"
+
+
+def _stage_cache_key(paths: list[str], image_size: int, canvas: bool) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(f"v1|{image_size}|{canvas}".encode())
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_mtime_ns}|{st.st_size}".encode())
+        except OSError:
+            h.update(f"{p}|missing".encode())
+    return h.hexdigest()
+
+
+def _stage_cache_load(data_file: str, paths: list[str], image_size: int,
+                      canvas: bool):
+    if os.environ.get("DKT_NO_STAGE_CACHE"):
+        return None
+    npy, keyf = _stage_cache_paths(data_file, image_size, canvas)
+    try:
+        with open(keyf) as f:
+            if f.read().strip() != _stage_cache_key(paths, image_size,
+                                                    canvas):
+                return None
+        host = np.load(npy, mmap_mode="r")
+    except (OSError, ValueError):
+        return None
+    if host.shape[0] != len(paths) or host.dtype != np.uint8:
+        return None
+    return host
+
+
+def _stage_cache_store(data_file: str, paths: list[str], image_size: int,
+                       canvas: bool, host: np.ndarray) -> None:
+    if os.environ.get("DKT_NO_STAGE_CACHE"):
+        return
+    npy, keyf = _stage_cache_paths(data_file, image_size, canvas)
+    try:
+        tmp = npy + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:  # np.save(str) would append .npy
+            np.save(f, host)
+        os.replace(tmp, npy)
+        with open(keyf, "w") as f:
+            f.write(_stage_cache_key(paths, image_size, canvas))
+    except OSError:
+        pass  # read-only filelist dir: caching is best-effort
+
+
 class DeviceDataset:
     """One split resident in device memory + jitted episode sampler."""
 
@@ -71,24 +136,31 @@ class DeviceDataset:
                     paths.append(p)
                     labels.append(c)
 
-        if canvas:
-            size = int(image_size * 1.15)
-            host = np.empty((len(paths), size, size, 3), np.uint8)
-            chunk = 1024
-            for i in range(0, len(paths), chunk):
-                host[i:i + chunk] = _load_canvas_batch(paths[i:i + chunk],
-                                                       size)
-        else:
-            # chunked threaded batch decode (native C++ pool when built);
-            # chunking bounds the float32 intermediate to ~100 MB
-            tp = TransformPipeline(image_size, aug=False, output_uint8=True)
-            host = np.empty((len(paths), image_size, image_size, 3), np.uint8)
-            chunk = 1024
-            for i in range(0, len(paths), chunk):
-                host[i:i + chunk] = tp.load_batch(paths[i:i + chunk])
+        host = _stage_cache_load(data_file, paths, image_size, canvas)
+        from_cache = host is not None
+        if host is None:
+            if canvas:
+                size = int(image_size * 1.15)
+                host = np.empty((len(paths), size, size, 3), np.uint8)
+                chunk = 1024
+                for i in range(0, len(paths), chunk):
+                    host[i:i + chunk] = _load_canvas_batch(
+                        paths[i:i + chunk], size)
+            else:
+                # chunked threaded batch decode (native C++ pool when
+                # built); chunking bounds the f32 intermediate to ~100 MB
+                tp = TransformPipeline(image_size, aug=False,
+                                       output_uint8=True)
+                host = np.empty((len(paths), image_size, image_size, 3),
+                                np.uint8)
+                chunk = 1024
+                for i in range(0, len(paths), chunk):
+                    host[i:i + chunk] = tp.load_batch(paths[i:i + chunk])
+            _stage_cache_store(data_file, paths, image_size, canvas, host)
         if verbose:
             print(f"[device_data] staged {len(paths)} images "
-                  f"({host.nbytes / 1e6:.1f} MB uint8) -> device")
+                  f"({host.nbytes / 1e6:.1f} MB uint8"
+                  f"{', decode cache' if from_cache else ''}) -> device")
 
         counts = np.array([len(sub[c]) for c in classes], np.int32)
         # per-class image-id table: slot j of class c is image j % count(c).

@@ -207,3 +207,46 @@ def test_fused_epoch_and_eval(filelist):
     assert a1.shape == (4, 2)
     np.testing.assert_array_equal(np.asarray(a1),
                                   np.asarray(ev(state.params, key, 4)))
+
+
+def test_stage_cache_roundtrip(tmp_path, monkeypatch):
+    """The staging decode cache: a second DeviceDataset construction reads
+    the memoised uint8 tensor (the decoder is never called), and touching a
+    source image invalidates the key."""
+    import os
+
+    from deep_kernel_transfer_tpu.data import device_dataset as dd
+
+    rng = np.random.RandomState(3)
+    names, labels = [], []
+    for cl in range(2):
+        for i in range(3):
+            p = str(tmp_path / f"c{cl}_{i}.jpg")
+            Image.fromarray((rng.rand(20, 20, 3) * 255).astype(np.uint8)
+                            ).save(p)
+            names.append(p)
+            labels.append(cl)
+    jf = str(tmp_path / "novel.json")
+    with open(jf, "w") as f:
+        json.dump({"label_names": ["a", "b"], "image_names": names,
+                   "image_labels": labels}, f)
+
+    ds1 = DeviceDataset(jf, image_size=16)
+    imgs1 = np.asarray(ds1.images)
+    npy, keyf = dd._stage_cache_paths(jf, 16, False)
+    assert os.path.isfile(npy) and os.path.isfile(keyf)
+
+    def boom(self, paths):
+        raise AssertionError("decoder called despite a valid stage cache")
+
+    monkeypatch.setattr(TransformPipeline, "load_batch", boom)
+    ds2 = DeviceDataset(jf, image_size=16)
+    np.testing.assert_array_equal(np.asarray(ds2.images), imgs1)
+
+    # a touched source image invalidates the key -> cache miss
+    os.utime(names[0], ns=(1, 1))
+    assert dd._stage_cache_load(jf, names, 16, False) is None
+
+    # DKT_NO_STAGE_CACHE opts out entirely
+    monkeypatch.setenv("DKT_NO_STAGE_CACHE", "1")
+    assert dd._stage_cache_load(jf, names, 16, False) is None
