@@ -113,8 +113,9 @@ def test_digits_real_filelists(tmp_path):
 
 
 def test_cross_digits_filelists(tmp_path):
-    """--cross layout: synthetic glyph base/val, ALL 10 real digit classes
-    as novel; glyph images are white-on-black 28px like the digits."""
+    """--cross layout: synthetic glyph base; the target digit domain split
+    by class parity (val = even, novel = odd — the reference's EMNIST
+    even/odd treatment); glyphs are white-on-black 28px like the digits."""
     bench_dir = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
     sys.path.insert(0, bench_dir)
     try:
@@ -126,13 +127,16 @@ def test_cross_digits_filelists(tmp_path):
     fl = tmp_path / "filelists" / "omniglot"
     with open(fl / "base.json") as f:
         base = json.load(f)
+    with open(fl / "val.json") as f:
+        val = json.load(f)
     with open(fl / "novel.json") as f:
         novel = json.load(f)
     assert len(set(base["image_labels"])) == 6
     assert len(base["image_names"]) == 24
     assert all("glyph" in n for n in base["label_names"])
-    assert set(novel["image_labels"]) == set(range(10))
-    assert len(novel["image_names"]) == 1797
+    assert set(val["image_labels"]) == {0, 2, 4, 6, 8}
+    assert set(novel["image_labels"]) == {1, 3, 5, 7, 9}
+    assert len(val["image_names"]) + len(novel["image_names"]) == 1797
     arr = np.asarray(Image.open(base["image_names"][0]))
     assert arr.shape[:2] == (28, 28)
     assert arr.max() > 180  # strokes are bright on a dark canvas
