@@ -200,8 +200,13 @@ def main():
                       "--train_n_way=5", "--test_n_way=5",
                       f"--n_shot={shot}", "--seed=1", f"--method={method}"]
             t0 = time.time()
-            train_cli.main(common + ([f"--stop_epoch={args.epochs}"]
-                                     if args.epochs != -1 else []))
+            # --resume: an interrupted run (TPU tunnel outage) continues
+            # from its last save_freq checkpoint on re-invocation; a fresh
+            # config starts from scratch (no checkpoint yet). Protocol
+            # changes need a fresh --root.
+            train_cli.main(common + ["--resume"]
+                           + ([f"--stop_epoch={args.epochs}"]
+                              if args.epochs != -1 else []))
             train_s = time.time() - t0
             if method not in ("DKT", "maml", "maml_approx"):
                 sf_cli.main(common + ["--split=novel"])

@@ -302,3 +302,15 @@ def test_export_checkpoint_cli(dataset_cwd, tmp_path):
     # noise constraint inverse: softplus(raw) + 1e-4 == fixed 0.1
     raw = float(state["model.models.0.likelihood.noise_covar.raw_noise"])
     assert abs(float(np.log1p(np.exp(raw))) + 1e-4 - 0.1) < 1e-6
+
+
+def test_train_resume_episodic(dataset_cwd, capsys):
+    """train.py --resume continues an episodic run from its last
+    save_freq checkpoint (epoch 0 is always saved: 0 % save_freq == 0)."""
+    ckpt_dir = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot"
+    assert os.path.isfile(f"{ckpt_dir}/0.tar"), "DKT train must run first"
+    train_cli.main(COMMON + ["--method=DKT", "--stop_epoch=2",
+                             "--n_train_episodes=6", "--resume"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "(epoch 0)" in out
+    assert os.path.isfile(f"{ckpt_dir}/1.tar")
