@@ -306,11 +306,15 @@ def test_export_checkpoint_cli(dataset_cwd, tmp_path):
 
 def test_train_resume_episodic(dataset_cwd, capsys):
     """train.py --resume continues an episodic run from its last
-    save_freq checkpoint (epoch 0 is always saved: 0 % save_freq == 0)."""
-    ckpt_dir = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot"
-    assert os.path.isfile(f"{ckpt_dir}/0.tar"), "DKT train must run first"
-    train_cli.main(COMMON + ["--method=DKT", "--stop_epoch=2",
-                             "--n_train_episodes=6", "--resume"])
+    save_freq checkpoint (epoch 0 is always saved: 0 % save_freq == 0).
+    Uses its own n_shot so no other test's checkpoints share the dir."""
+    own = ["--dataset=omniglot", "--model=Conv4", "--train_n_way=3",
+           "--test_n_way=3", "--n_shot=4", "--seed=1", "--method=DKT",
+           "--n_train_episodes=6"]
+    ckpt_dir = "save/checkpoints/omniglot/Conv4S_DKT_3way_4shot"
+    train_cli.main(own + ["--stop_epoch=1"])
+    assert os.path.isfile(f"{ckpt_dir}/0.tar")
+    train_cli.main(own + ["--stop_epoch=2", "--resume"])
     out = capsys.readouterr().out
     assert "resumed from" in out and "(epoch 0)" in out
     assert os.path.isfile(f"{ckpt_dir}/1.tar")
