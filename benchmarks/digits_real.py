@@ -193,6 +193,33 @@ def main():
     import test as test_cli
     import train as train_cli
 
+    if args.cross:
+        protocol = (
+            "cross-domain cross_char analog: base = 200 synthetic "
+            "stroke-glyph classes x 20 imgs (Bezier strokes, affine+noise "
+            "jitter); target digits split by parity like the reference's "
+            "EMNIST treatment — val = EVEN real digits, novel = ODD real "
+            "digits (sklearn load_digits; no odd digit ever seen in "
+            "training); reference omniglot protocol (Conv4S 28px, "
+            "n_query=15, 600-episode eval, multi-seed); floor 20%")
+    else:
+        protocol = (
+            "sklearn load_digits (1797 real 8x8 handwritten digits) -> 28px "
+            "grayscale jpgs; base=digits 0-4, novel=digits 5-9 (disjoint), "
+            "val=base; reference omniglot protocol (Conv4S, n_query=15, "
+            "600-episode eval, multi-seed); random-guess floor 20%")
+    tag = "digits_cross" if args.cross else "digits_real"
+
+    def record(update: dict) -> None:
+        # merge after EVERY config so an interrupted sweep keeps its
+        # completed results (the sweep itself resumes via --resume)
+        with open(report_path) as f:
+            report = json.load(f)
+        report.update(update)
+        report[f"{tag}_protocol"] = protocol
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=2)
+
     results: dict[str, float] = {}
     for method in args.methods.split(","):
         for shot in (int(s) for s in args.shots.split(",")):
@@ -211,33 +238,14 @@ def main():
             if method not in ("DKT", "maml", "maml_approx"):
                 sf_cli.main(common + ["--split=novel"])
             acc, ci = test_cli.main(common + [f"--repeat={args.repeat}"])
-            tag = "digits_cross" if args.cross else "digits_real"
             key = f"{tag}_{method.lower()}_5way_{shot}shot"
-            results[f"{key}_acc"] = round(acc, 2)
-            results[f"{key}_ci95"] = round(ci, 2)
-            results[f"{key}_train_s"] = round(train_s, 1)
+            entry = {f"{key}_acc": round(acc, 2),
+                     f"{key}_ci95": round(ci, 2),
+                     f"{key}_train_s": round(train_s, 1)}
+            results.update(entry)
+            record(entry)
             print(f"== {method} {shot}-shot: {acc:.2f}% +- {ci:.2f}% "
                   f"(train {train_s:.0f}s)")
-
-    with open(report_path) as f:
-        report = json.load(f)
-    report.update(results)
-    if args.cross:
-        report["digits_cross_protocol"] = (
-            "cross-domain cross_char analog: base/val = 200 synthetic "
-            "stroke-glyph classes x 20 imgs (Bezier strokes, affine+noise "
-            "jitter), novel = ALL 10 real digit classes (sklearn "
-            "load_digits; never seen in training); reference omniglot "
-            "protocol (Conv4S 28px, n_query=15, 600-episode eval, "
-            "multi-seed); random-guess floor 20%")
-    else:
-        report["digits_real_protocol"] = (
-            "sklearn load_digits (1797 real 8x8 handwritten digits) -> 28px "
-            "grayscale jpgs; base=digits 0-4, novel=digits 5-9 (disjoint), "
-            "val=base; reference omniglot protocol (Conv4S, n_query=15, "
-            "600-episode eval, multi-seed); random-guess floor 20%")
-    with open(report_path, "w") as f:
-        json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in results.items()}))
 
 
