@@ -55,25 +55,28 @@ from PIL import Image
 
 
 def make_digits_filelists(root: str) -> None:
-    """Write the omniglot-layout filelist dataset from sklearn digits."""
+    """Write the omniglot-layout filelist dataset from sklearn digits.
+    Image generation is memoised via a sentinel; the split JSONs are
+    rewritten unconditionally so switching a --root between modes (or
+    changing split logic) can never leave stale layouts behind."""
     from sklearn.datasets import load_digits
 
+    root = os.path.abspath(root)  # paths go into JSONs; cwd changes later
     img_dir = os.path.join(root, "filelists", "omniglot", "images")
     done = os.path.join(img_dir, ".complete")
-    if os.path.exists(done):
-        return
-    os.makedirs(img_dir, exist_ok=True)
     X, y = load_digits(return_X_y=True)  # (1797, 64) float 0..16, labels 0..9
-    names: list[str] = []
-    labels: list[int] = []
-    for i, (row, cl) in enumerate(zip(X, y)):
-        arr = (row.reshape(8, 8) / 16.0 * 255.0).round().astype(np.uint8)
-        img = Image.fromarray(arr, mode="L").resize((28, 28), Image.BICUBIC)
-        p = os.path.join(img_dir, f"d{cl}_{i}.jpg")
-        img.save(p, quality=95)
-        names.append(p)
-        labels.append(int(cl))
-    names_np, labels_np = np.asarray(names), np.asarray(labels)
+    names = [os.path.join(img_dir, f"d{cl}_{i}.jpg")
+             for i, cl in enumerate(y)]
+    if not os.path.exists(done):
+        os.makedirs(img_dir, exist_ok=True)
+        for p, row in zip(names, X):
+            arr = (row.reshape(8, 8) / 16.0 * 255.0).round().astype(np.uint8)
+            img = Image.fromarray(arr, mode="L").resize((28, 28),
+                                                        Image.BICUBIC)
+            img.save(p, quality=95)
+        open(done, "w").close()
+        print(f"digits dataset ready: {len(names)} images -> {img_dir}")
+    names_np, labels_np = np.asarray(names), np.asarray(y)
 
     def split_json(classes, path):
         mask = np.isin(labels_np, classes)
@@ -81,15 +84,13 @@ def make_digits_filelists(root: str) -> None:
             json.dump({
                 "label_names": [f"digit_{c}" for c in range(10)],
                 "image_names": names_np[mask].tolist(),
-                "image_labels": labels_np[mask].tolist(),
+                "image_labels": [int(c) for c in labels_np[mask]],
             }, f)
 
     fl = os.path.join(root, "filelists", "omniglot")
     split_json(range(0, 5), os.path.join(fl, "base.json"))
     split_json(range(0, 5), os.path.join(fl, "val.json"))  # no novel leakage
     split_json(range(5, 10), os.path.join(fl, "novel.json"))
-    open(done, "w").close()
-    print(f"digits dataset ready: {len(names)} images -> {img_dir}")
 
 
 def _render_glyph_class(rng: np.ndarray, n_img: int) -> list:
@@ -132,38 +133,38 @@ def make_cross_filelists(root: str, n_classes: int = 200,
     filelists/emnist/write_cross_char_valnovel_filelist.py:30-37)."""
     from PIL import Image
 
-    make_digits_filelists(root)  # writes the digit images + digit splits
+    root = os.path.abspath(root)
+    make_digits_filelists(root)  # digit images (+ digit splits, replaced below)
     fl = os.path.join(root, "filelists", "omniglot")
     img_dir = os.path.join(fl, "glyphs")
-    done = os.path.join(img_dir, ".complete")
-    if not os.path.exists(done):
+    done = os.path.join(img_dir, f".complete_{n_classes}x{n_img}")
+    names = [os.path.join(img_dir, f"g{cl}_{i}.jpg")
+             for cl in range(n_classes) for i in range(n_img)]
+    labels = [cl for cl in range(n_classes) for _ in range(n_img)]
+    if not os.path.exists(done):  # sentinel gates only image generation
         os.makedirs(img_dir, exist_ok=True)
         rng = np.random.RandomState(11)
-        names, labels = [], []
+        it = iter(names)
         for cl in range(n_classes):
-            for i, arr in enumerate(_render_glyph_class(rng, n_img)):
-                p = os.path.join(img_dir, f"g{cl}_{i}.jpg")
-                Image.fromarray(arr, mode="L").save(p, quality=95)
-                names.append(p)
-                labels.append(cl)
-        meta = {"label_names": [f"glyph_{c}" for c in range(n_classes)],
-                "image_names": names, "image_labels": labels}
-        with open(os.path.join(fl, "base.json"), "w") as f:
-            json.dump(meta, f)
+            for arr in _render_glyph_class(rng, n_img):
+                Image.fromarray(arr, mode="L").save(next(it), quality=95)
         open(done, "w").close()
         print(f"glyph base ready: {len(names)} images -> {img_dir}")
+    with open(os.path.join(fl, "base.json"), "w") as f:
+        json.dump({"label_names": [f"glyph_{c}" for c in range(n_classes)],
+                   "image_names": names, "image_labels": labels}, f)
     # target domain split by parity: val = even digits, novel = odd digits
     from sklearn.datasets import load_digits
 
     _, y = load_digits(return_X_y=True)
     dig_dir = os.path.join(fl, "images")
-    names = np.asarray([os.path.join(dig_dir, f"d{cl}_{i}.jpg")
-                        for i, cl in enumerate(y)])
+    dnames = np.asarray([os.path.join(dig_dir, f"d{cl}_{i}.jpg")
+                         for i, cl in enumerate(y)])
     for split, parity in (("val", 0), ("novel", 1)):
         mask = (y % 2) == parity
         with open(os.path.join(fl, f"{split}.json"), "w") as f:
             json.dump({"label_names": [f"digit_{c}" for c in range(10)],
-                       "image_names": names[mask].tolist(),
+                       "image_names": dnames[mask].tolist(),
                        "image_labels": [int(c) for c in y[mask]]}, f)
 
 

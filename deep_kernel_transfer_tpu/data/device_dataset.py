@@ -76,26 +76,28 @@ def _stage_cache_key(paths: list[str], image_size: int, canvas: bool) -> str:
 
 
 def _stage_cache_load(data_file: str, paths: list[str], image_size: int,
-                      canvas: bool):
+                      canvas: bool) -> tuple["np.ndarray | None", str]:
+    """(cached tensor or None, computed key — reusable by the store so the
+    per-file stat sweep runs once per cold staging)."""
     if os.environ.get("DKT_NO_STAGE_CACHE"):
-        return None
+        return None, ""
+    key = _stage_cache_key(paths, image_size, canvas)
     npy, keyf = _stage_cache_paths(data_file, image_size, canvas)
     try:
         with open(keyf) as f:
-            if f.read().strip() != _stage_cache_key(paths, image_size,
-                                                    canvas):
-                return None
+            if f.read().strip() != key:
+                return None, key
         host = np.load(npy, mmap_mode="r")
     except (OSError, ValueError):
-        return None
+        return None, key
     if host.shape[0] != len(paths) or host.dtype != np.uint8:
-        return None
-    return host
+        return None, key
+    return host, key
 
 
-def _stage_cache_store(data_file: str, paths: list[str], image_size: int,
+def _stage_cache_store(data_file: str, key: str, image_size: int,
                        canvas: bool, host: np.ndarray) -> None:
-    if os.environ.get("DKT_NO_STAGE_CACHE"):
+    if os.environ.get("DKT_NO_STAGE_CACHE") or not key:
         return
     npy, keyf = _stage_cache_paths(data_file, image_size, canvas)
     try:
@@ -104,7 +106,7 @@ def _stage_cache_store(data_file: str, paths: list[str], image_size: int,
             np.save(f, host)
         os.replace(tmp, npy)
         with open(keyf, "w") as f:
-            f.write(_stage_cache_key(paths, image_size, canvas))
+            f.write(key)
     except OSError:
         pass  # read-only filelist dir: caching is best-effort
 
@@ -136,7 +138,8 @@ class DeviceDataset:
                     paths.append(p)
                     labels.append(c)
 
-        host = _stage_cache_load(data_file, paths, image_size, canvas)
+        host, cache_key = _stage_cache_load(data_file, paths, image_size,
+                                            canvas)
         from_cache = host is not None
         if host is None:
             if canvas:
@@ -156,7 +159,7 @@ class DeviceDataset:
                 chunk = 1024
                 for i in range(0, len(paths), chunk):
                     host[i:i + chunk] = tp.load_batch(paths[i:i + chunk])
-            _stage_cache_store(data_file, paths, image_size, canvas, host)
+            _stage_cache_store(data_file, cache_key, image_size, canvas, host)
         if verbose:
             print(f"[device_data] staged {len(paths)} images "
                   f"({host.nbytes / 1e6:.1f} MB uint8"

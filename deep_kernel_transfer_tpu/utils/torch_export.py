@@ -191,13 +191,17 @@ def _export_dkt(model, params: dict, image_size: int) -> dict:
               {k: np.asarray(v)[inv] for k, v in bn.items()},
               {k: np.asarray(v)[inv] for k, v in st.items()})
     gp = params["gp"]
-    # our DKT runs the reference's fixed observation noise 0.1
-    # (methods/dkt.py; reference methods/DKT.py:337-378)
-    raw_noise = _noise_raw_torch(_inv_softplus(np.float64(0.1)))
+    # the model's fixed observation noise (0.1 by default; reference
+    # methods/DKT.py:337-378) — read from the likelihood, not hardcoded
+    noise = float(model.gp.likelihood.fixed_noise)
+    raw_noise = _noise_raw_torch(_inv_softplus(np.float64(noise)))
     for w_i in range(model.n_way):
         p = f"model.models.{w_i}."
-        out[f"{p}mean_module.raw_constant"] = np.float32(
-            np.asarray(gp["mean"]["constant"])[w_i])
+        mean_c = np.float32(np.asarray(gp["mean"]["constant"])[w_i])
+        # both gpytorch generations: modern 'raw_constant' + the pinned
+        # (old) reference gpytorch's 'constant' (same value, no constraint)
+        out[f"{p}mean_module.raw_constant"] = mean_c
+        out[f"{p}mean_module.constant"] = mean_c.reshape(1)
         out[f"{p}covar_module.raw_outputscale"] = np.float32(
             np.asarray(gp["kernel"]["raw_outputscale"])[w_i])
         base = gp["kernel"].get("base", {})
@@ -339,9 +343,10 @@ def _export_dkt_regression(model, params: dict,
     bb = model.feature
     net = export_backbone(params["feature"], bb, prefix="")
     gp_p = params["gp"]
+    mean_c = np.float32(np.asarray(gp_p["mean"]["constant"]).reshape(()))
     gp: dict[str, Any] = {
-        "mean_module.raw_constant": np.float32(
-            np.asarray(gp_p["mean"]["constant"]).reshape(())),
+        "mean_module.raw_constant": mean_c,
+        "mean_module.constant": mean_c.reshape(1),  # old-gpytorch alias
     }
     kern = gp_p["kernel"]
     if "raw_outputscale" in kern:

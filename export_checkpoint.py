@@ -25,7 +25,7 @@ from deep_kernel_transfer_tpu.io_utils import parse_args
 from deep_kernel_transfer_tpu.utils.checkpoint import (
     get_assigned_file,
     get_best_file,
-    load_checkpoint,
+    load_params_checkpoint,
 )
 from deep_kernel_transfer_tpu.utils.torch_export import (
     export_method_checkpoint,
@@ -65,7 +65,11 @@ def main(argv=None):
         params = model.init_params(jax.random.PRNGKey(0), example)
     else:
         params = model.init(jax.random.PRNGKey(0), example).params
-    params, epoch = load_checkpoint(ckpt_file, params)
+    # transparent npz/torch load (same loader as test.py) — exporting an
+    # already-torch checkpoint just round-trips it through our layout
+    params, epoch = load_params_checkpoint(
+        ckpt_file, params, method_name=params_cli.method, model=model,
+        image_size=image_size)
 
     out = out or (ckpt_file[:-4] if ckpt_file.endswith(".tar")
                   else ckpt_file) + ".torch.tar"

@@ -245,8 +245,8 @@ def test_stage_cache_roundtrip(tmp_path, monkeypatch):
 
     # a touched source image invalidates the key -> cache miss
     os.utime(names[0], ns=(1, 1))
-    assert dd._stage_cache_load(jf, names, 16, False) is None
+    assert dd._stage_cache_load(jf, names, 16, False)[0] is None
 
     # DKT_NO_STAGE_CACHE opts out entirely
     monkeypatch.setenv("DKT_NO_STAGE_CACHE", "1")
-    assert dd._stage_cache_load(jf, names, 16, False) is None
+    assert dd._stage_cache_load(jf, names, 16, False)[0] is None

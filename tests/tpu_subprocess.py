@@ -35,7 +35,7 @@ def _probe_tpu() -> bool:
                 [sys.executable, "-c",
                  "import jax; print('BACKEND=' + jax.default_backend())"],
                 env=_clean_env(), capture_output=True, text=True,
-                timeout=180)
+                timeout=300)  # generous: backend init competes for the 1 core
             _tpu_usable = ("BACKEND=tpu" in r.stdout
                            or "BACKEND=axon" in r.stdout)
         except subprocess.TimeoutExpired:
