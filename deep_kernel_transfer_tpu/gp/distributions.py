@@ -43,7 +43,15 @@ class MultivariateNormal(NamedTuple):
         reference methods/DKT.py:258,323)."""
         eps = jax.random.normal(key, (num_samples,) + self.mean.shape)
         if self.covariance is not None:
-            jitter = 1e-6 * jnp.eye(self.covariance.shape[-1], dtype=self.covariance.dtype)
-            chol = jnp.linalg.cholesky(self.covariance + jitter)
-            return self.mean + jnp.einsum("...ij,s...j->s...i", chol, eps)
+            # psd_safe_cholesky (jitter escalation): a posterior covariance
+            # with query points nearly coincident with support can round
+            # slightly indefinite in f32, and raw jnp.linalg.cholesky would
+            # return silent NaNs. Imported lazily (exact.py imports this
+            # module at load time).
+            from .exact import psd_safe_cholesky
+
+            chol = psd_safe_cholesky(self.covariance)
+            return self.mean + jnp.einsum(
+                "...ij,s...j->s...i", chol, eps,
+                precision=jax.lax.Precision.HIGHEST)  # f32-MXU contract
         return self.mean + self.stddev * eps

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .distributions import MultivariateNormal
-from .kernels import Kernel
+from .kernels import Kernel, hdot
 from .likelihoods import GaussianLikelihood
 from .means import constant_mean, constant_mean_init
 
@@ -37,8 +37,8 @@ _LOG_2PI = 1.8378770664093453
 
 # GP numerics contract: every MXU contraction in the engine runs f32
 # (Mosaic/XLA lower default-precision f32 dots to bf16 on TPU, which the
-# CPU test mesh cannot see — same rule as kernels._dot_f32, low_rank._dot)
-_dot = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+# CPU test mesh cannot see); one shared helper — kernels.hdot
+_dot = hdot
 
 
 def psd_safe_cholesky(mat: Array, initial_jitter: float = 1e-6, max_tries: int = 9) -> Array:
@@ -53,6 +53,13 @@ def psd_safe_cholesky(mat: Array, initial_jitter: float = 1e-6, max_tries: int =
     exhaustion the next UNTRIED level is used (not the one that just
     failed); gpytorch raises NotPSDError there, which an in-graph op cannot
     — a NaN factor (and loss) is the in-jit analogue.
+
+    Cost note: the common PD case pays TWO factorisations (the phase-1
+    probe — whose while_loop exits after its initial cholesky — plus the
+    differentiable phase-2 one). A lax.cond fast path would not help:
+    under vmap cond lowers to select so both branches execute anyway, and
+    phase 2 must stay differentiable so it cannot reuse the stop-gradient
+    probe.
     """
     n = mat.shape[-1]
     eye = jnp.eye(n, dtype=mat.dtype)

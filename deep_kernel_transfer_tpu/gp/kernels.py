@@ -25,9 +25,6 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_SOFTPLUS_0 = 0.6931471805599453  # softplus(0) = log(2)
-
-
 def softplus(x: Array) -> Array:
     return jax.nn.softplus(x)
 
@@ -62,6 +59,13 @@ def _dot_f32(x1: Array, x2: Array) -> Array:
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def hdot(a: Array, b: Array) -> Array:
+    """jnp.dot at HIGHEST precision — the engine-wide f32-MXU contract
+    helper shared by exact.py / low_rank.py / laplace.py (one definition
+    so a future precision-policy change cannot silently diverge)."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def dist(x1: Array, x2: Array) -> Array:
@@ -217,9 +221,11 @@ def spectral_mixture_kernel(num_mixtures: int, ard_num_dims: int) -> Kernel:
     k(tau) = sum_q w_q * prod_d exp(-2 pi^2 tau_d^2 s_{qd}^2) cos(2 pi tau_d mu_{qd})
     with tau = a - b. Matches gpytorch SpectralMixtureKernel as used at
     reference methods/DKT_regression.py:122 (num_mixtures=4, ard_num_dims=2916)
-    and sines/train_DKT.py:132 (ard_num_dims=40). Raw params are init from
-    N(0,1) like gpytorch's random initialisation (no data-driven init in the
-    reference either).
+    and sines/train_DKT.py:132 (ard_num_dims=40). Raw init matches
+    gpytorch's: raw_mixture_weights ZEROS (all mixtures start at
+    softplus(0) = log 2), raw means/scales N(0,1). (Data-driven init
+    lives in initialize_spectral_from_data; the reference never calls
+    its gpytorch counterpart.)
 
     TPU note: the naive formulation would materialise [N1, N2, D] deltas; for
     ard_num_dims=2916 and N=19 that is fine, but we nevertheless compute the
@@ -232,9 +238,9 @@ def spectral_mixture_kernel(num_mixtures: int, ard_num_dims: int) -> Kernel:
     q, d = num_mixtures, ard_num_dims
 
     def init(key):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k2, k3 = jax.random.split(key)
         return {
-            "raw_weights": jax.random.normal(k1, (q,)),
+            "raw_weights": jnp.zeros((q,)),  # gpytorch: zeros
             "raw_means": jax.random.normal(k2, (q, d)),
             "raw_scales": jax.random.normal(k3, (q, d)),
         }

@@ -21,12 +21,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .kernels import sq_dist
+from .kernels import hdot, sq_dist
 
 Array = jax.Array
 
 # GP numerics contract (see gp/exact.py): MXU contractions stay f32
-_dot = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+_dot = hdot
 
 
 def rbf_gram(x1: Array, x2: Array, lengthscale: float = 0.1,

@@ -34,6 +34,13 @@ class GaussianLikelihood(NamedTuple):
 
     def init(self, noise: float | None = None) -> dict:
         if not self.trainable:
+            # a requested value that differs from the baked-in constant
+            # would be silently discarded — surface it instead
+            assert noise is None or float(noise) == float(self.fixed_noise), (
+                f"init(noise={noise}) on a non-trainable likelihood with "
+                f"fixed_noise={self.fixed_noise}: construct "
+                "GaussianLikelihood(trainable=False, fixed_noise=noise) "
+                "instead")
             return {}
         if noise is None:
             return {"raw_noise": jnp.zeros(())}  # softplus(0) like gpytorch

@@ -22,13 +22,13 @@ autodiff, vmap over ways/episodes, and sharding compose untouched.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 
 # no cycle: exact.py only imports this module inside function bodies
 from .exact import _LOG_2PI, _chol_solve as _cho_solve, psd_safe_cholesky
+from .kernels import hdot
 
 Array = jax.Array
 
@@ -36,7 +36,7 @@ Array = jax.Array
 # near-cancelling differences (e.g. the MLL quad form), so a default
 # bf16 pass in any one operand destroys the cancellation and the exact
 # parity with the dense path that this module's tests enforce.
-_dot = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
+_dot = hdot
 
 
 def _m_chol(z: Array, s, noise):
