@@ -2,7 +2,7 @@
 
 Method-string registry mirrors the reference CLI surface
 (reference train.py:115-174, io_utils.py:23)."""
-from .base import EpisodeSpec, EpisodicMethod, MethodState
+from .base import EpisodicMethod, MethodState
 from .baseline import BaselineFinetune, BaselineTrain
 from .dkt import DKT
 from .dkt_regression import DKTRegression
@@ -27,7 +27,7 @@ CLASSIFICATION_METHODS = (
 REGRESSION_METHODS = ("DKT", "transfer")
 
 __all__ = [
-    "EpisodeSpec", "EpisodicMethod", "MethodState",
+    "EpisodicMethod", "MethodState",
     "BaselineFinetune", "BaselineTrain", "DKT", "DKTRegression",
     "FeatureTransfer", "MAML", "MatchingNet", "ProtoNet", "RelationNet",
     "CLASSIFICATION_METHODS", "REGRESSION_METHODS",

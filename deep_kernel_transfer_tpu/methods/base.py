@@ -6,8 +6,8 @@ Here the same contract is expressed functionally so that every method is a
 set of pure jit/vmap-able functions over a params pytree:
 
   * episodes are arrays [n_way, S+Q, ...] (or batched [B, n_way, S+Q, ...]);
-  * `split_support_query` replaces parse_feature's slicing
-    (reference meta_template.py:32-43);
+    methods slice support/query with plain [:, :n_support] indexing
+    (parse_feature, reference meta_template.py:32-43);
   * label construction helpers replace the np.repeat patterns scattered
     through the reference.
 
@@ -22,25 +22,6 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
-
-
-class EpisodeSpec(NamedTuple):
-    """Static episode geometry (shapes are compile-time constants on TPU)."""
-
-    n_way: int
-    n_support: int
-    n_query: int
-
-    @property
-    def n_total(self) -> int:
-        return self.n_support + self.n_query
-
-
-def split_support_query(x: Array, n_support: int) -> tuple[Array, Array]:
-    """[n_way, S+Q, ...] -> ([n_way, S, ...], [n_way, Q, ...]).
-
-    Functional parse_feature (reference meta_template.py:40-41)."""
-    return x[:, :n_support], x[:, n_support:]
 
 
 def flatten_episode(x: Array) -> Array:
@@ -63,12 +44,6 @@ def one_vs_rest_targets(n_way: int, k: int) -> Array:
     return 2.0 * onehot - 1.0
 
 
-def accuracy_from_scores(scores: Array, labels: Array) -> Array:
-    """Top-1 accuracy in percent (reference meta_template.py:45-52)."""
-    pred = jnp.argmax(scores, axis=-1)
-    return jnp.mean((pred == labels).astype(jnp.float32)) * 100.0
-
-
 def ci95(acc_per_episode) -> float:
     """mean +- 1.96*std/sqrt(n) protocol (reference test.py:174)."""
     import numpy as np
@@ -89,12 +64,14 @@ def apply_trunk(module, variables, x: Array, train: bool, dtype=None):
     accumulators) and returns f32 features, the same mixed-precision law
     as DKT's flagship path; uint8 inputs are normalised BEFORE the cast
     (the cast would otherwise erase the integer marker the trunk's
-    preprocess_input keys on)."""
+    preprocess_input keys on), honouring the trunk's own normalisation
+    law via its `imagenet_norm` attribute (Conv3 is /255-only)."""
     if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         if jnp.issubdtype(x.dtype, jnp.integer):
             from ..models.backbones import preprocess_input
 
-            x = preprocess_input(x)
+            x = preprocess_input(
+                x, imagenet=getattr(module, "imagenet_norm", True))
         variables = {**variables, "params": jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
             variables["params"])}

@@ -13,8 +13,6 @@ and can itself be vmapped over a batch of episodes.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -22,7 +20,7 @@ from flax import linen as nn
 
 from ..models.backbones import DistLinear
 from ..utils.torch_optim import torch_sgd
-from .base import episode_labels, merge_stats
+from .base import MethodState, episode_labels, merge_stats
 
 Array = jax.Array
 
@@ -40,10 +38,7 @@ class BaselineClassifier(nn.Module):
         return nn.Dense(self.num_class, bias_init=nn.initializers.zeros)(z)
 
 
-class BaselineState(NamedTuple):
-    params: object
-    opt_state: object
-    step: Array
+BaselineState = MethodState  # shared (params, opt_state, step)
 
 
 class BaselineTrain:

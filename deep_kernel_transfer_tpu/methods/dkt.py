@@ -29,8 +29,6 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -39,8 +37,8 @@ from flax import linen as nn
 from ..gp import ExactGP, GaussianLikelihood, make_kernel, normalizes_features
 from ..gp.exact import batched_posterior, init_batched, sum_mll
 from ..models.backbones import EpisodicBatchNorm
-from .base import (apply_trunk, episode_labels, flatten_episode,
-                   merge_stats, one_vs_rest_targets)
+from .base import (MethodState, apply_trunk, episode_labels,
+                   flatten_episode, one_vs_rest_targets, train_step_body)
 
 Array = jax.Array
 
@@ -51,6 +49,11 @@ class DKTFeature(nn.Module):
     backbone: nn.Module
     bn_out: bool = False
 
+    @property
+    def imagenet_norm(self) -> bool:
+        """Forward the wrapped trunk's normalisation law to apply_trunk."""
+        return getattr(self.backbone, "imagenet_norm", True)
+
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         z = self.backbone(x, train=train)
@@ -59,10 +62,8 @@ class DKTFeature(nn.Module):
         return z
 
 
-class DKTState(NamedTuple):
-    params: Any
-    opt_state: Any
-    step: Array
+# one shared (params, opt_state, step) state tuple for every method
+DKTState = MethodState
 
 
 class DKT:
@@ -200,15 +201,10 @@ class DKT:
 
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state: DKTState, xb: Array) -> tuple[DKTState, dict]:
-        (loss, stats), grads = jax.value_and_grad(
-            self.batch_loss_train, has_aux=True)(state.params, xb)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        # BN running averages (zero-grad leaves; Adam left them untouched)
-        for key, st in (stats or {}).items():
-            params = {**params, key: merge_stats(params[key], st)}
-        metrics = {"loss": loss, **self._hyper_metrics(params)}
-        return DKTState(params, opt_state, state.step + 1), metrics
+        # the SAME program as every other path (base.train_step_body; the
+        # sharded mesh step also runs it) + DKT's hyperparameter telemetry
+        state, metrics = train_step_body(self, state, xb)
+        return state, {**metrics, **self._hyper_metrics(state.params)}
 
     def _hyper_metrics(self, params) -> dict:
         """Mean outputscale / lengthscale / noise telemetry
@@ -260,16 +256,12 @@ class DKT:
 
     # -- prediction --------------------------------------------------------
 
-    def episode_logits(self, params, x: Array, condition_on_all: bool = False) -> Array:
-        """Posterior means of each way's GP at the query points.
-
-        Returns [n_way*Q, n_way] (queries x ways), the reference's stacked
-        `gaussian.mean` layout (methods/DKT.py:297-335). Conditioning is on
-        support only (test protocol) unless condition_on_all.
-        """
-        n_way, n_total = x.shape[0], x.shape[1]
+    def _logits_from_features(self, params, z_all: Array, n_way: int,
+                              n_total: int,
+                              condition_on_all: bool = False) -> Array:
+        """episode_logits given precomputed features (so adaptation paths
+        can reuse one trunk forward — the trunk is ~90% of the cost)."""
         n_support = self.n_support
-        z_all, _ = self._features(params, flatten_episode(x))
         d = z_all.shape[-1]
         z = z_all.reshape(n_way, n_total, d)
         z_support = z[:, :n_support].reshape(n_way * n_support, d)
@@ -282,6 +274,17 @@ class DKT:
             targets = one_vs_rest_targets(n_way, n_support)
             post = batched_posterior(self.gp, gp_params, z_support, targets, z_query)
         return post.mean.T  # [n_query_total, n_way]
+
+    def episode_logits(self, params, x: Array, condition_on_all: bool = False) -> Array:
+        """Posterior means of each way's GP at the query points.
+
+        Returns [n_way*Q, n_way] (queries x ways), the reference's stacked
+        `gaussian.mean` layout (methods/DKT.py:297-335). Conditioning is on
+        support only (test protocol) unless condition_on_all.
+        """
+        z_all, _ = self._features(params, flatten_episode(x))
+        return self._logits_from_features(params, z_all, x.shape[0],
+                                          x.shape[1], condition_on_all)
 
     def episode_scores(self, params, x: Array) -> Array:
         """sigmoid(mean) scores (reference methods/DKT.py:258-271)."""
@@ -368,25 +371,33 @@ class DKT:
         y_query = episode_labels(n_way, n_total - self.n_support)
 
         def one(x):
-            p = self.adapt_gp(params, x, steps=steps, lr=lr)
-            pred = jnp.argmax(self.episode_scores(p, x), axis=-1)
+            # ONE trunk forward per episode: adaptation and scoring share
+            # the features (adapt_gp only changes params['gp'])
+            z_all, _ = self._features(params, flatten_episode(x))
+            p = self.adapt_gp(params, x, steps=steps, lr=lr, z_all=z_all)
+            scores = jax.nn.sigmoid(
+                self._logits_from_features(p, z_all, n_way, n_total))
+            pred = jnp.argmax(scores, axis=-1)
             return jnp.mean((pred == y_query).astype(jnp.float32)) * 100.0
 
         return jax.vmap(one)(xb)
 
     # -- test-time GP adaptation (reference correct(N>0), DKT.py:249-256) --
 
-    def adapt_gp(self, params, x: Array, steps: int, lr: float = 1e-3):
+    def adapt_gp(self, params, x: Array, steps: int, lr: float = 1e-3,
+                 z_all: Array | None = None):
         """Optimise GP hyperparams on the support set for `steps` Adam steps.
 
         The reference's optional test-time adaptation optimises the GP (not
         the feature net) against the support MLL. Runs as a lax.scan so it
-        stays on-device."""
+        stays on-device. Pass `z_all` (the episode's flattened features) to
+        reuse an existing trunk forward."""
         if steps == 0:
             return params
         n_way = x.shape[0]
         n_support = self.n_support
-        z_all, _ = self._features(params, flatten_episode(x))
+        if z_all is None:
+            z_all, _ = self._features(params, flatten_episode(x))
         d = z_all.shape[-1]
         z_support = (
             z_all.reshape(n_way, -1, d)[:, :n_support].reshape(n_way * n_support, d)

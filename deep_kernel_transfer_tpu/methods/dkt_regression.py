@@ -16,22 +16,18 @@ TPU-idiomatic equivalent with the same objective in expectation, and an
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple
-
 import jax
 import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
 from ..gp import ExactGP, GaussianLikelihood, make_kernel
+from .base import MethodState
 
 Array = jax.Array
 
 
-class DKTRegressionState(NamedTuple):
-    params: Any
-    opt_state: Any
-    step: Array
+DKTRegressionState = MethodState  # shared (params, opt_state, step)
 
 
 class DKTRegression:

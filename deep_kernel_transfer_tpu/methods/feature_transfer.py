@@ -7,12 +7,11 @@ support points of a random test task, then report MSE over all its points.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import optax
 from flax import linen as nn
+from .base import MethodState
 
 Array = jax.Array
 
@@ -26,10 +25,7 @@ class TransferNet(nn.Module):
         return nn.Dense(1)(z)[..., 0]  # Regressor layer4: Linear(2916, 1)
 
 
-class FeatureTransferState(NamedTuple):
-    params: object
-    opt_state: object
-    step: Array
+FeatureTransferState = MethodState  # shared (params, opt_state, step)
 
 
 class FeatureTransfer:

@@ -66,6 +66,21 @@ class MAML(EpisodicMethod):
         self.train_lr = train_lr
         self.tx = optax.adam(lr)
 
+    @property
+    def task_update_num(self) -> int:
+        return self._task_update_num
+
+    @task_update_num.setter
+    def task_update_num(self, value: int) -> None:
+        """The inner-loop step count is baked into traced programs, so
+        mutating it (test.py --adaptation sets 100, reference
+        test.py:158-159) must drop any jitted closures cached on the
+        instance — otherwise a pre-mutation trace would silently keep
+        running the old count."""
+        self._task_update_num = int(value)
+        for k in [k for k in self.__dict__ if k.endswith("_fn")]:
+            del self.__dict__[k]
+
     def init_params(self, key, example_episode):
         return {"net": self.net.init(key, flatten_episode(example_episode))}
 

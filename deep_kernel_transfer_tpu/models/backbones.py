@@ -319,6 +319,10 @@ class Conv3(nn.Module):
     """QMUL regression trunk: 3 dilated strided convs -> 2916 features
     (reference backbone.py:379-402). 100x100 input -> 9x9x36 = 2916."""
 
+    # declared normalisation law, honoured by methods/base.apply_trunk's
+    # pre-cast uint8 path (every other trunk uses ImageNet stats)
+    imagenet_norm = False
+
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         del train  # no BN in this trunk
