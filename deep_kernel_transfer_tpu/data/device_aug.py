@@ -50,9 +50,11 @@ def _sample_crop_boxes(key, batch: int, canvas: int, out_size: int):
     cw = jnp.round(jnp.sqrt(ta * aspect))
     ch = jnp.round(jnp.sqrt(ta / aspect))
     valid = (cw > 0) & (cw <= canvas) & (ch > 0) & (ch <= canvas)
-    # first valid attempt; if none, fall back to the deterministic
-    # scale+center-crop (the canvas IS the 1.15x scale, so the fallback is
-    # the centered out_size window — reference transforms.py fallback)
+    # first valid attempt; if none, fall back to the centered out_size
+    # window. NOTE: the host law's fallback is the centered min-side square
+    # of the ORIGINAL image (transforms.fallback_crop_box); the canvas was
+    # already resampled square, so aspect can't be recovered here — an
+    # accepted canvas-mode approximation on a ~1e-4-probability branch.
     idx = jnp.argmax(valid, axis=1)                       # first True
     any_valid = jnp.any(valid, axis=1)
     take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]

@@ -111,6 +111,23 @@ def _stage_cache_store(data_file: str, key: str, image_size: int,
         pass  # read-only filelist dir: caching is best-effort
 
 
+def _batch_axis_extent(sharding) -> int:
+    """Product of mesh-axis extents sharding the LEADING (batch) dim.
+
+    episode_sharding uses P(axis) so only the first spec entry matters;
+    entries can be a name, a tuple of names, or None (replicated)."""
+    if not sharding.spec:
+        return 1
+    first = sharding.spec[0]
+    if first is None:
+        return 1
+    names = first if isinstance(first, tuple) else (first,)
+    extent = 1
+    for name in names:
+        extent *= int(sharding.mesh.shape[name])
+    return extent
+
+
 class DeviceDataset:
     """One split resident in device memory + jitted episode sampler."""
 
@@ -220,9 +237,13 @@ class DeviceDataset:
         """[batch, n_way, S+Q, H, W, 3] uint8, entirely on device(s)."""
         ids = self.sample_episode_ids(key, n_way, n_support + n_query, batch)
         x = jnp.take(self.images, ids, axis=0)
-        if self._episode_sharding is not None and batch % len(
-                self._episode_sharding.mesh.devices.flat) == 0:
-            x = jax.device_put(x, self._episode_sharding)
+        if self._episode_sharding is not None:
+            # divisibility by the sharded axis extent (dp), not the total
+            # device count — on a 2-D dp x tp mesh only dp splits the batch
+            sh = self._episode_sharding
+            extent = _batch_axis_extent(sh)
+            if batch % extent == 0:
+                x = jax.device_put(x, sh)
         return x
 
     # ---------------------------------------------------------------- loader

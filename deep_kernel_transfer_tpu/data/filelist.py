@@ -24,6 +24,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from .lru import ByteCappedLRU
 from .transforms import TransformPipeline
 
 
@@ -110,34 +111,15 @@ class EpisodicDataLoader:
                                            output_uint8=output_uint8)
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
-        self._cache: "dict[str, np.ndarray]" = {}
-        self._cache_bytes = 0
-        self._cache_cap = 0 if aug else cache_bytes
+        # decoded-image LRU: eval only (aug output is never reusable)
+        self._cache = ByteCappedLRU(0 if aug else cache_bytes)
 
     def __len__(self) -> int:
         """Number of yielded batches (episodes / batch)."""
         return -(-self.n_episodes // self.episode_batch)
 
     def _load(self, path: str) -> np.ndarray:
-        if self._cache_cap == 0:
-            return self.transform.load(path)
-        arr = self._cache.get(path)
-        if arr is None:
-            arr = self.transform.load(path)
-            if arr.nbytes > self._cache_cap:
-                return arr  # can never fit: do NOT flush the cache for it
-            # evict least-recently-used until it fits
-            while (self._cache_bytes + arr.nbytes > self._cache_cap
-                   and self._cache):
-                old = self._cache.pop(next(iter(self._cache)))
-                self._cache_bytes -= old.nbytes
-            if self._cache_bytes + arr.nbytes <= self._cache_cap:
-                self._cache[path] = arr
-                self._cache_bytes += arr.nbytes
-        else:  # LRU: move to the end (dicts preserve insertion order)
-            self._cache.pop(path)
-            self._cache[path] = arr
-        return arr
+        return self._cache.get_or_load(path, self.transform.load)
 
     def _one_episode(self) -> np.ndarray:
         way_ids = self.rng.permutation(len(self.classes))[: self.n_way]
@@ -196,3 +178,9 @@ class EpisodicDataLoader:
                 yield item
         finally:
             stop.set()  # unblock the producer if the consumer bailed early
+            # Wait for it to actually exit: the loader is reused across
+            # epochs, and an abandoned producer left running would race the
+            # next epoch's producer over the shared LRU cache and RNG
+            # (put_or_stop polls `stop` every 0.5 s, so the join is bounded
+            # by one in-flight episode-batch decode).
+            t.join()

@@ -12,6 +12,7 @@ import os
 
 import numpy as np
 
+from .lru import ByteCappedLRU
 from .transforms import load_image
 
 # Fixed person splits (reference data/qmul_loader.py:9-10)
@@ -59,20 +60,13 @@ def _default_prefix() -> str:
 # decode cache: every epoch resamples 19 of the same 13x19 grid per person,
 # so a QMUL training run re-decodes each JPEG hundreds of times otherwise.
 # uint8 storage keeps the full 29-person grid ~215 MB. Cap via env.
-_DECODE_CACHE: dict[str, np.ndarray] = {}
-_CACHE_CAP = int(os.environ.get("DKT_QMUL_CACHE_BYTES", 1 << 30))
-_cache_bytes = 0
+_DECODE_CACHE = ByteCappedLRU(
+    int(os.environ.get("DKT_QMUL_CACHE_BYTES", 1 << 30)))
 
 
 def _load_face(fname: str) -> np.ndarray:
-    global _cache_bytes
-    arr = _DECODE_CACHE.get(fname)
-    if arr is None:
-        arr = np.asarray(load_image(fname), np.uint8)
-        if _cache_bytes + arr.nbytes <= _CACHE_CAP:
-            _DECODE_CACHE[fname] = arr
-            _cache_bytes += arr.nbytes
-    return arr
+    return _DECODE_CACHE.get_or_load(
+        fname, lambda f: np.asarray(load_image(f), np.uint8))
 
 
 def get_person_at_curve(person: str, curve, prefix: str | None = None):

@@ -49,14 +49,24 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
     return img.crop((left, top, left + size, top + size))
 
 
+def fallback_crop_box(w: int, h: int) -> tuple[int, int, int, int]:
+    """Deterministic crop when all 10 RandomSizedCrop attempts fail: the
+    centered min-side square (torchvision's aspect-preserving
+    Scale(shorter->size) + CenterCrop fallback, expressed as a crop box so
+    the PIL and native backends share one code path)."""
+    m = min(w, h)
+    return (w - m) // 2, (h - m) // 2, m, m
+
+
 def random_sized_crop(img: Image.Image, size: int, rng: np.random.RandomState) -> Image.Image:
     """torchvision RandomSizedCrop/RandomResizedCrop: random area in
-    [0.08, 1.0], aspect in [3/4, 4/3], 10 attempts then center-crop fallback.
-    Parameter sampling is shared with the native path (sample_crop_box)."""
+    [0.08, 1.0], aspect in [3/4, 4/3], 10 attempts then the centered-square
+    fallback. Parameter sampling is shared with the native path
+    (sample_crop_box)."""
     w, h = img.size
     box = sample_crop_box(w, h, rng)
     if box is None:
-        return center_crop(scale(img, size), size)
+        box = fallback_crop_box(w, h)
     left, top, cw, ch = box
     return img.crop((left, top, left + cw, top + ch)).resize(
         (size, size), Image.BILINEAR)
@@ -124,16 +134,43 @@ class TransformPipeline:
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         if self.aug:
-            img = random_sized_crop(img, self.image_size, self.rng)
-            img = image_jitter(img, self.rng)
-            img = random_hflip(img, self.rng)
-        else:
-            img = scale(img, self.image_size)
-            img = center_crop(img, self.image_size)
+            # same draw order as the native path: crop box, jitter, flip
+            w, h = img.size
+            box, factors, flip = self._draw_aug_params(w, h)
+            return self._apply_aug(img, box, factors, flip)
+        img = scale(img, self.image_size)
+        img = center_crop(img, self.image_size)
+        return self._emit(img)
+
+    def _emit(self, img: Image.Image) -> np.ndarray:
         if self.output_uint8:
-            arr = np.asarray(img.convert("RGB"), np.uint8)
-            return arr
+            return np.asarray(img.convert("RGB"), np.uint8)
         return to_array(img, self.normalize)
+
+    def _draw_aug_params(self, w: int, h: int):
+        """Consume the aug draws (crop box, jitter factors, flip) in the
+        fixed stream order shared by the PIL and native backends."""
+        box = sample_crop_box(w, h, self.rng)
+        rand = self.rng.rand(len(JITTER_PARAMS))
+        factors = tuple(
+            alpha * (rand[i] * 2.0 - 1.0) + 1
+            for i, alpha in enumerate(JITTER_PARAMS.values()))
+        flip = bool(self.rng.rand() < 0.5)
+        return box, factors, flip
+
+    def _apply_aug(self, img: Image.Image, box, factors,
+                   flip: bool) -> np.ndarray:
+        """Apply pre-drawn aug parameters via PIL (consumes no RNG)."""
+        if box is None:
+            box = fallback_crop_box(*img.size)
+        left, top, cw, ch = box
+        img = img.crop((left, top, left + cw, top + ch)).resize(
+            (self.image_size, self.image_size), Image.BILINEAR)
+        for name, r in zip(JITTER_PARAMS, factors):
+            img = _ENHANCERS[name](img).enhance(r).convert("RGB")
+        if flip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return self._emit(img)
 
     def load(self, path: str) -> np.ndarray:
         """Decode + transform a file (native fast path when available)."""
@@ -141,23 +178,29 @@ class TransformPipeline:
             return self(load_image(path))
         from .. import native
 
-        try:
-            if not self.aug:
+        if not self.aug:
+            try:
                 arr = native.load_eval(path, self.image_size, self.normalize)
                 return self._finish(arr)
+            except IOError:
+                return self(load_image(path))  # unsupported format -> PIL
+        try:
             with Image.open(path) as img:  # header-only size read
                 w, h = img.size
-            box = sample_crop_box(w, h, self.rng)
-            rand = self.rng.rand(len(JITTER_PARAMS))
-            factors = tuple(
-                alpha * (rand[i] * 2.0 - 1.0) + 1
-                for i, alpha in enumerate(JITTER_PARAMS.values()))
-            flip = bool(self.rng.rand() < 0.5)
+        except IOError:
+            return self(load_image(path))  # no draws consumed yet
+        box, factors, flip = self._draw_aug_params(w, h)
+        if box is None:  # concrete centered-square fallback, one law
+            box = fallback_crop_box(w, h)
+        try:
             arr = native.load_aug(path, self.image_size, box, factors, flip,
                                   self.normalize)
             return self._finish(arr)
         except IOError:
-            return self(load_image(path))  # unsupported format -> PIL
+            # Unsupported format -> PIL, REUSING the drawn parameters: a
+            # fresh draw here would double-advance the RNG stream and break
+            # seed parity between native-built and PIL-only hosts.
+            return self._apply_aug(load_image(path), box, factors, flip)
 
     def load_batch(self, paths: list[str]) -> np.ndarray:
         """Decode + transform many files: [n, size, size, 3].

@@ -343,8 +343,10 @@ int dkt_load_eval(const char* path, int size, int normalize, float* out) {
 // Aug pipeline with host-supplied random parameters (numpy RNG stays in
 // Python for seed parity): crop box in source pixels -> resize to size ->
 // jitter (brightness/contrast/color factors) -> optional hflip ->
-// normalize. crop_w <= 0 requests the deterministic fallback
-// (scale 1.15x + center crop, reference transforms.py:67).
+// normalize. crop_w <= 0 requests the deterministic fallback: the centered
+// min-side square (torchvision RandomSizedCrop's aspect-preserving
+// Scale+CenterCrop law — same as transforms.fallback_crop_box; the Python
+// caller now substitutes the box host-side, this branch is belt-and-braces).
 int dkt_load_aug(const char* path, int size, int normalize, int crop_left,
                  int crop_top, int crop_w, int crop_h, float brightness,
                  float contrast, float color, int flip, float* out) {
@@ -352,19 +354,13 @@ int dkt_load_aug(const char* path, int size, int normalize, int crop_left,
   if (!decode_file(path, &img)) return -1;
   std::vector<float> resized;
   if (crop_w <= 0) {
-    int s = int(size * 1.15);
-    std::vector<float> big;
-    resample(img, 0, 0, float(img.w), float(img.h), s, s, &big);
-    int left = (s - size) / 2, top = (s - size) / 2;
-    resized.resize(size_t(size) * size * 3);
-    for (int y = 0; y < size; ++y)
-      std::memcpy(resized.data() + size_t(y) * size * 3,
-                  big.data() + (size_t(y + top) * s + left) * 3,
-                  size_t(size) * 3 * sizeof(float));
-  } else {
-    resample(img, float(crop_left), float(crop_top), float(crop_left + crop_w),
-             float(crop_top + crop_h), size, size, &resized);
+    int m = img.w < img.h ? img.w : img.h;
+    crop_left = (img.w - m) / 2;
+    crop_top = (img.h - m) / 2;
+    crop_w = crop_h = m;
   }
+  resample(img, float(crop_left), float(crop_top), float(crop_left + crop_w),
+           float(crop_top + crop_h), size, size, &resized);
   jitter(&resized, size * size, brightness, contrast, color);
   finalize(resized, size * size, normalize, flip, size, out);
   return 0;

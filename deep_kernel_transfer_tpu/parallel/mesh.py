@@ -28,6 +28,11 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D mesh over the first n_devices (default: all)."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"make_mesh(n_devices={n_devices}): only {len(devices)} "
+                f"devices available (silently truncating would run with "
+                f"less parallelism than the per-device batch math assumes)")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
@@ -149,14 +154,20 @@ def make_sharded_eval(method, mesh: Mesh, axis: str = DATA_AXIS):
     )
 
 
-def wrap_pad_episodes(xb: Array, mesh: Mesh) -> tuple[Array, int]:
-    """Pad a final partial episode batch up to a device-divisible size by
+def wrap_pad_episodes(xb: Array, mesh: Mesh,
+                      axis: str = DATA_AXIS) -> tuple[Array, int]:
+    """Pad a final partial episode batch up to a dp-divisible size by
     wrapping episodes; returns (padded batch, original size) so eval
     callers can trim the duplicates back off ([:b]). For training the
-    duplicates add negligible gradient weight once per epoch."""
+    duplicates add negligible gradient weight once per epoch.
+
+    Divisibility is by the extent of the episode axis (mesh.shape[axis]),
+    NOT the total device count: on a 2-D dp x tp mesh only dp shards the
+    batch, so padding to mesh.size would silently double the compute."""
     b = xb.shape[0]
-    if b % mesh.size != 0:
-        target = -(-b // mesh.size) * mesh.size
+    extent = mesh.shape[axis] if axis in mesh.shape else mesh.size
+    if b % extent != 0:
+        target = -(-b // extent) * extent
         reps = -(-target // b)
         xb = jnp.concatenate([jnp.asarray(xb)] * reps)[:target]
     return xb, b

@@ -147,7 +147,7 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
                 n_episodes=params_cli.n_iter, episode_batch=episode_batch,
                 aug=False, seed=seed, output_uint8=True)
         if mesh is not None:
-            from deep_kernel_transfer_tpu.parallel.mesh import (
+            from deep_kernel_transfer_tpu.parallel import (
                 make_sharded_eval,
                 replicate_tree,
                 shard_episode_batch,

@@ -132,12 +132,12 @@ def test_eval_loader_cache_reuses_and_matches(tmp_path):
     uncached = EpisodicDataLoader(str(f), cache_bytes=0, **kw)
     for a, b in zip(cached, uncached):
         np.testing.assert_allclose(a, b)
-    assert cached._cache_bytes > 0
+    assert cached._cache.nbytes > 0
     # tiny cap forces eviction but never exceeds the cap
     tiny = EpisodicDataLoader(str(f), cache_bytes=2 * 28 * 28 * 3 * 4 + 1, **kw)
     for _ in tiny:
         pass
-    assert tiny._cache_bytes <= tiny._cache_cap
+    assert tiny._cache.nbytes <= tiny._cache.cap
 
 
 def test_uint8_pipeline_matches_f32(tmp_path):
@@ -182,3 +182,90 @@ def test_uint8_pipeline_matches_f32(tmp_path):
     z32 = bb.apply(v, jnp.asarray(xb_f32[0].reshape(-1, 28, 28, 3)), train=False)
     zu8 = bb.apply(v, jnp.asarray(xb_u8[0].reshape(-1, 28, 28, 3)), train=False)
     assert float(jnp.abs(z32 - zu8).max()) < 0.15
+
+
+def test_prefetch_early_exit_joins_producer(filelist):
+    """Abandoning an epoch mid-iteration must leave no live producer thread
+    racing the next epoch over the shared LRU cache and RNG."""
+    import threading
+
+    loader = EpisodicDataLoader(
+        filelist, image_size=16, n_way=3, n_support=1, n_query=1,
+        n_episodes=8, episode_batch=2, aug=False, seed=3, prefetch=True)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # what breaking out of a for-loop does
+    assert threading.active_count() == before  # producer joined
+    # second epoch runs cleanly end to end with the full batch count
+    batches = list(loader)
+    assert len(batches) == len(loader)
+
+
+def test_fallback_crop_box_is_centered_min_square():
+    from deep_kernel_transfer_tpu.data.transforms import fallback_crop_box
+
+    assert fallback_crop_box(500, 330) == (85, 0, 330, 330)
+    assert fallback_crop_box(330, 500) == (0, 85, 330, 330)
+    assert fallback_crop_box(64, 64) == (0, 0, 64, 64)
+
+
+def test_aug_rng_parity_native_vs_pil(tmp_path):
+    """A native-unsupported format (GIF) mid-list must not shift the RNG
+    stream: a native-built pipeline and a PIL-only pipeline with the same
+    seed must produce the same augmentations for every image."""
+    from deep_kernel_transfer_tpu import native
+
+    if not native.available():
+        pytest.skip("native pipeline not built")
+    rng = np.random.RandomState(1)
+    paths = []
+    for i, ext in enumerate(["jpg", "gif", "jpg"]):
+        arr = (rng.rand(40, 30, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"img{i}.{ext}")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    mk = lambda use_native: TransformPipeline(
+        image_size=16, aug=True, seed=11, use_native=use_native,
+        output_uint8=True)
+    pil_pipe, nat_pipe = mk(False), mk(True)
+    assert nat_pipe.use_native
+    for p in paths:
+        a = pil_pipe.load(p)
+        b = nat_pipe.load(p)
+        # same draws -> same geometry/flip; decode/resample differs by
+        # <= a couple of u8 LSBs between PIL and the native resampler
+        assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 3.0, p
+    # streams fully consumed in lockstep
+    assert pil_pipe.rng.randint(1 << 30) == nat_pipe.rng.randint(1 << 30)
+
+
+def test_byte_capped_lru_evicts_lru_first():
+    from deep_kernel_transfer_tpu.data.lru import ByteCappedLRU
+
+    item = lambda v: np.full(4, v, np.uint8)  # 4 bytes each
+    loads = []
+
+    def load(key):
+        loads.append(key)
+        return item(int(key))
+
+    lru = ByteCappedLRU(8)  # fits two items
+    lru.get_or_load("1", load)
+    lru.get_or_load("2", load)
+    lru.get_or_load("1", load)  # hit; refreshes recency
+    lru.get_or_load("3", load)  # evicts "2" (least recent), not "1"
+    assert loads == ["1", "2", "3"]
+    lru.get_or_load("1", load)  # still cached
+    assert loads == ["1", "2", "3"]
+    lru.get_or_load("2", load)  # was evicted -> reloaded
+    assert loads == ["1", "2", "3", "2"]
+    assert lru.nbytes <= 8
+    # oversized item returned uncached without flushing
+    big = lru.get_or_load("9", lambda k: np.zeros(64, np.uint8))
+    assert big.nbytes == 64 and lru.nbytes <= 8
+    # cap 0 disables caching entirely
+    off = ByteCappedLRU(0)
+    off.get_or_load("1", load)
+    off.get_or_load("1", load)
+    assert loads[-2:] == ["1", "1"] and len(off) == 0

@@ -133,3 +133,44 @@ def test_tensor_parallel_step_matches_replicated():
     np.testing.assert_allclose(float(m2["loss"]), loss_ref, rtol=1e-4)
     assert np.isfinite(
         np.asarray(jax.tree.leaves(state2.params)[0])).all()
+
+
+def test_wrap_pad_episodes_pads_to_dp_extent_not_mesh_size():
+    """On a 2-D dp x tp mesh only the dp axis shards the episode batch, so
+    padding must target mesh.shape['dp'], not the total device count."""
+    from deep_kernel_transfer_tpu.parallel import (make_mesh, make_mesh_2d,
+                                                   wrap_pad_episodes)
+
+    mesh2d = make_mesh_2d(4, 2)
+    xb = jnp.arange(3 * 5, dtype=jnp.float32).reshape(3, 5)
+    padded, b = wrap_pad_episodes(xb, mesh2d)
+    assert b == 3 and padded.shape[0] == 4  # NOT 8
+    np.testing.assert_array_equal(padded[3], xb[0])  # wrapped duplicate
+    # already divisible: untouched
+    xb4 = jnp.ones((4, 5))
+    padded4, b4 = wrap_pad_episodes(xb4, mesh2d)
+    assert b4 == 4 and padded4.shape[0] == 4
+    # 1-D mesh keeps the old behavior (extent == mesh.size)
+    mesh1d = make_mesh(8)
+    padded1, _ = wrap_pad_episodes(xb, mesh1d)
+    assert padded1.shape[0] == 8
+
+
+def test_make_mesh_rejects_overcommit():
+    from deep_kernel_transfer_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError):
+        make_mesh(len(jax.devices()) + 1)
+
+
+def test_batch_axis_extent():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deep_kernel_transfer_tpu.data.device_dataset import _batch_axis_extent
+    from deep_kernel_transfer_tpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2)
+    assert _batch_axis_extent(NamedSharding(mesh, P("dp"))) == 4
+    assert _batch_axis_extent(NamedSharding(mesh, P(("dp", "tp")))) == 8
+    assert _batch_axis_extent(NamedSharding(mesh, P(None, "tp"))) == 1
+    assert _batch_axis_extent(NamedSharding(mesh, P())) == 1

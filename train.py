@@ -201,7 +201,7 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
         # episode-parallel training: params replicated, episode axis sharded,
         # XLA's psum over ICI does the gradient all-reduce
         # (parallel/mesh.py; validated for parity in tests/test_parallel.py)
-        from deep_kernel_transfer_tpu.parallel.mesh import (
+        from deep_kernel_transfer_tpu.parallel import (
             make_sharded_eval,
             make_sharded_train_step,
             replicate_tree,
