@@ -116,6 +116,26 @@ def get_best_file(checkpoint_dir: str) -> Optional[str]:
     return get_resume_file(checkpoint_dir)
 
 
+def resolve_checkpoint_file(checkpoint_dir: str,
+                            save_iter: int = -1) -> Optional[str]:
+    """Eval-CLI checkpoint resolution (reference test.py:95-100): a pinned
+    --save_iter epoch file, else best_model.tar / latest epoch. Shared by
+    test.py / test_uncertainty.py / save_features.py. Warns LOUDLY when
+    nothing is found — the CLIs proceed on freshly-initialised weights for
+    reference parity, and a silent ~chance-level 'result' in results.txt is
+    far worse than a stderr warning."""
+    import sys
+
+    if save_iter != -1:
+        f = get_assigned_file(checkpoint_dir, save_iter)
+    else:
+        f = get_best_file(checkpoint_dir)
+    if f is None:
+        print(f"[WARNING] no checkpoint found in {checkpoint_dir} — "
+              "evaluating RANDOMLY-INITIALISED weights", file=sys.stderr)
+    return f
+
+
 def warmup_from_baseline(warm_dir: str, target_params: Any,
                          backbone: Any = None) -> Any:
     """Warm-start the feature trunk from a baseline checkpoint.

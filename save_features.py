@@ -20,8 +20,7 @@ from deep_kernel_transfer_tpu.data.feature_cache import save_features
 from deep_kernel_transfer_tpu.io_utils import parse_args
 from deep_kernel_transfer_tpu.models.backbones import model_dict
 from deep_kernel_transfer_tpu.utils.checkpoint import (
-    get_assigned_file,
-    get_best_file,
+    resolve_checkpoint_file,
     load_backbone_from,
 )
 from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
@@ -48,10 +47,7 @@ def main(argv=None):
     factory.check_model_constraints(params_cli)
 
     ckpt_dir = factory.checkpoint_dir(params_cli)
-    if params_cli.save_iter != -1:
-        ckpt_file = get_assigned_file(ckpt_dir, params_cli.save_iter)
-    else:
-        ckpt_file = get_best_file(ckpt_dir)
+    ckpt_file = resolve_checkpoint_file(ckpt_dir, params_cli.save_iter)
     assert ckpt_file is not None, f"no checkpoint in {ckpt_dir}"
 
     assert params_cli.method not in ("maml", "maml_approx"), (

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import random
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -32,11 +33,9 @@ from deep_kernel_transfer_tpu.methods import (
     BaselineFinetune,
 )
 from deep_kernel_transfer_tpu.methods.base import ci95
-from deep_kernel_transfer_tpu.models.backbones import feat_dims
 from deep_kernel_transfer_tpu.utils.checkpoint import (
-    get_assigned_file,
-    get_best_file,
     load_params_checkpoint,
+    resolve_checkpoint_file,
 )
 from deep_kernel_transfer_tpu.utils.jit_cache import enable_persistent_jit_cache
 
@@ -46,29 +45,39 @@ def _set_seed(seed: int) -> None:
     random.seed(seed)
 
 
-def feature_evaluation(cl_data, model, params_cli, n_query=15, adaptation=False,
+def make_feature_scorer(model, params_cli, feat_dim: int):
+    """Build ONE episode-scoring callable (z, key) -> scores for the
+    feature-cache path, so the jitted programs are traced once per run
+    instead of once per episode (reference test.py:39-59 scores inline;
+    600 retraces of the 100-epoch finetune scan would dominate the run)."""
+    adaptation = params_cli.adaptation
+    if adaptation and params_cli.method in ("relationnet",
+                                            "relationnet_softmax"):
+        # relationnet finetunes its relation module, not a linear probe
+        # (reference relationnet.py:42-93 overrides set_forward_adaptation)
+        return lambda z, key: model.adapted_scores_from_features(
+            model._loaded_params, z, key)
+    if adaptation or params_cli.method in ("baseline", "baseline++"):
+        # linear-probe finetune on support features (reference
+        # meta_template.py:102-135 / baselinefinetune.py:14-52); one head
+        # reused across episodes (episode_scores jit-caches on identity)
+        loss_type = "dist" if params_cli.method == "baseline++" else "softmax"
+        head = BaselineFinetune(feat_dim, params_cli.test_n_way,
+                                params_cli.n_shot, loss_type=loss_type)
+        return lambda z, key: head.episode_scores(key, z)
+    score_fn = jax.jit(partial(model.scores_from_features,
+                               model._loaded_params))
+    return lambda z, key: score_fn(z)
+
+
+def feature_evaluation(cl_data, score_episode, params_cli, n_query=15,
                        seed=0):
     """One episode from cached features -> accuracy% (reference test.py:39-59)."""
     rng = np.random.RandomState(seed)
     n_way = params_cli.test_n_way
     n_support = params_cli.n_shot
     z = sample_feature_episode(cl_data, rng, n_way, n_support, n_query)
-    z = jnp.asarray(z)
-    if adaptation and params_cli.method in ("relationnet",
-                                            "relationnet_softmax"):
-        # relationnet finetunes its relation module, not a linear probe
-        # (reference relationnet.py:42-93 overrides set_forward_adaptation)
-        scores = model.adapted_scores_from_features(
-            model._loaded_params, z, jax.random.PRNGKey(seed))
-    elif adaptation or params_cli.method in ("baseline", "baseline++"):
-        # linear-probe finetune on support features (reference
-        # meta_template.py:102-135 / baselinefinetune.py:14-52)
-        loss_type = "dist" if params_cli.method == "baseline++" else "softmax"
-        head = BaselineFinetune(z.shape[-1], n_way, n_support,
-                                loss_type=loss_type)
-        scores = head.episode_scores(jax.random.PRNGKey(seed), z)
-    else:
-        scores = model.scores_from_features(model._loaded_params, z)
+    scores = score_episode(jnp.asarray(z), jax.random.PRNGKey(seed))
     pred = np.asarray(jnp.argmax(scores, axis=-1))
     y = np.repeat(range(n_way), n_query)
     return np.mean(pred == y) * 100
@@ -101,10 +110,7 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
         model.task_update_num = 100  # reference test.py:158-159
 
     ckpt_dir = factory.checkpoint_dir(params_cli)
-    if params_cli.save_iter != -1:
-        ckpt_file = get_assigned_file(ckpt_dir, params_cli.save_iter)
-    else:
-        ckpt_file = get_best_file(ckpt_dir)
+    ckpt_file = resolve_checkpoint_file(ckpt_dir, params_cli.save_iter)
 
     if from_images:
         novel_file = factory.resolve_data_files(params_cli,
@@ -209,7 +215,6 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
 
     if params_cli.method not in ("baseline", "baseline++"):
         # rebuild method params and load the checkpoint for the head weights
-        d = feat_dims[params_cli.model]
         example = jnp.zeros((n_way, n_support + 15, image_size, image_size, 3),
                             jnp.float32)
         state = model.init(jax.random.PRNGKey(seed), example)
@@ -220,9 +225,11 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
                 model=model, image_size=image_size)
         model._loaded_params = params
 
+    feat_dim = int(next(iter(cl_data.values()))[0].shape[-1]) if cl_data else 0
+    score_episode = make_feature_scorer(model, params_cli, feat_dim)
     accs = np.asarray([
-        feature_evaluation(cl_data, model, params_cli,
-                           adaptation=params_cli.adaptation, seed=seed * 10000 + i)
+        feature_evaluation(cl_data, score_episode, params_cli,
+                           seed=seed * 10000 + i)
         for i in range(params_cli.n_iter)
     ])
     return float(accs.mean()), ci95(accs)

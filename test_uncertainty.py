@@ -33,8 +33,7 @@ from deep_kernel_transfer_tpu.io_utils import parse_args
 from deep_kernel_transfer_tpu.methods import BaselineFinetune
 from deep_kernel_transfer_tpu.methods.base import episode_labels
 from deep_kernel_transfer_tpu.utils.checkpoint import (
-    get_assigned_file,
-    get_best_file,
+    resolve_checkpoint_file,
     load_params_checkpoint,
 )
 from deep_kernel_transfer_tpu.utils.metrics import calibrate_temperature, ece
@@ -100,15 +99,12 @@ def _load_params(params_cli, model, image_size, n_support):
     state = model.init(jax.random.PRNGKey(params_cli.seed), example)
     params = state.params
     ckpt_dir = factory.checkpoint_dir(params_cli)
-    ckpt_file = (get_assigned_file(ckpt_dir, params_cli.save_iter)
-                 if params_cli.save_iter != -1 else get_best_file(ckpt_dir))
+    ckpt_file = resolve_checkpoint_file(ckpt_dir, params_cli.save_iter)
     if ckpt_file is not None:
         params, _ = load_params_checkpoint(
             ckpt_file, params, method_name=params_cli.method,
             model=model, image_size=image_size)
         print(f"loaded {ckpt_file}")
-    else:
-        print(f"[WARNING] no checkpoint found in {ckpt_dir}")
     return params
 
 
@@ -121,6 +117,10 @@ def make_collector(params_cli):
     if params_cli.method in FROM_IMAGES:
         # build at TRAIN n_way (the checkpoint's way-sized parameter shapes);
         # test_n_way episodes are handled by DKT's change_way slicing
+        if params_cli.method in ("maml", "maml_approx"):
+            assert params_cli.test_n_way == params_cli.train_n_way, (
+                "maml does not support test_n_way != train_n_way "
+                "(reference change_way=False)")
         model = factory.build_method(params_cli, params_cli.train_n_way,
                                      n_support)
         if params_cli.method in ("maml", "maml_approx") and params_cli.adaptation:

@@ -318,3 +318,14 @@ def test_train_resume_episodic(dataset_cwd, capsys):
     out = capsys.readouterr().out
     assert "resumed from" in out and "(epoch 0)" in out
     assert os.path.isfile(f"{ckpt_dir}/1.tar")
+
+
+def test_uncertainty_rejects_maml_way_mismatch(dataset_cwd):
+    """maml is change_way=False (reference maml.py:13): calibrating at a
+    different test_n_way must fail loudly, not produce a bogus ECE."""
+    import test_uncertainty as unc_cli
+
+    with pytest.raises(AssertionError, match="test_n_way"):
+        unc_cli.main(["--dataset=omniglot", "--model=Conv4", "--seed=1",
+                      "--method=maml", "--train_n_way=3", "--test_n_way=2",
+                      "--n_shot=2", "--n_iter=1"])

@@ -121,3 +121,21 @@ def test_persistent_jit_cache_helper(monkeypatch, tmp_path):
         assert jax.config.jax_compilation_cache_dir == target
     finally:
         jax.config.update("jax_compilation_cache_dir", configured)
+
+
+def test_resolve_checkpoint_file(tmp_path, capsys):
+    """Shared eval-CLI resolution: --save_iter dispatch, best_model
+    preference, and a LOUD warning when nothing exists (a silent run would
+    record random-weight accuracy to results.txt)."""
+    from deep_kernel_transfer_tpu.utils.checkpoint import (
+        resolve_checkpoint_file)
+
+    d = str(tmp_path)
+    assert resolve_checkpoint_file(d) is None
+    assert "RANDOMLY-INITIALISED" in capsys.readouterr().err
+    (tmp_path / "3.tar").write_bytes(b"x")
+    assert resolve_checkpoint_file(d).endswith("3.tar")  # latest epoch
+    (tmp_path / "best_model.tar").write_bytes(b"x")
+    assert resolve_checkpoint_file(d).endswith("best_model.tar")
+    assert resolve_checkpoint_file(d, save_iter=3).endswith("3.tar")
+    assert capsys.readouterr().err == ""  # found -> no warning

@@ -359,7 +359,10 @@ def train_meta(params_cli, base_file, val_file, image_size, stop_epoch, ckpt_dir
             acc = _val_acc(model, state.params, val_iter(epoch),
                            eval_fn=eval_batch)
         print(f"Epoch {epoch} | Val acc {acc:.2f}%")
-        logger.log_scalars(epoch, loss=epoch_loss,
+        # epoch-scale scalars get their own tag: 'loss' is already logged
+        # per-iteration above, and one tag on two step scales garbles
+        # TensorBoard charts and JSONL consumers
+        logger.log_scalars(epoch, epoch_loss=epoch_loss,
                            test_accuracy=acc, **extra)
         if acc > max_acc:  # reference train.py:57-60
             max_acc = acc

@@ -49,13 +49,20 @@ def main(argv=None):
 
     start_epoch = params_cli.start_epoch
     if params_cli.resume:
-        from deep_kernel_transfer_tpu.utils.checkpoint import load_checkpoint
+        from deep_kernel_transfer_tpu.utils.checkpoint import (
+            load_params_checkpoint)
 
         ckpt = os.path.join(ckpt_dir, "best_model.tar")
         if os.path.isfile(ckpt):
-            params, epoch = load_checkpoint(ckpt, state.params)
+            # load_params_checkpoint handles BOTH our npz .tar payloads and
+            # reference torch checkpoints (same contract as train.py resume)
+            params, epoch = load_params_checkpoint(
+                ckpt, state.params,
+                method_name=("DKT_regression" if params_cli.method == "DKT"
+                             else params_cli.method),
+                model=model, image_size=100)
             state = state._replace(params=params)
-            start_epoch = epoch + 1
+            start_epoch = (epoch + 1) if epoch is not None else start_epoch
             print(f"resumed from {ckpt} (epoch {epoch})")
 
     ckpt = os.path.join(ckpt_dir, "best_model.tar")
