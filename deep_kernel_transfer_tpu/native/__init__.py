@@ -25,17 +25,30 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # Compile to a per-process temp path, then atomically rename into
+    # place: concurrent processes (pytest + TPU subprocesses) may rebuild
+    # a stale .so simultaneously, and g++ writing the target in place would
+    # let another process dlopen a half-written file. rename() is atomic on
+    # POSIX, so every reader sees either the old or the new complete file.
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-           "-o", _LIB_PATH, _SRC, "-ljpeg", "-lpng"]
+           "-o", tmp, _SRC, "-ljpeg", "-lpng"]
     try:
         result = subprocess.run(cmd, capture_output=True, text=True,
                                 timeout=120)
+        if result.returncode != 0:
+            print(f"[native] build failed:\n{result.stderr}")
+            return False
+        os.replace(tmp, _LIB_PATH)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
-    if result.returncode != 0:
-        print(f"[native] build failed:\n{result.stderr}")
-        return False
-    return True
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load() -> Optional[ctypes.CDLL]:

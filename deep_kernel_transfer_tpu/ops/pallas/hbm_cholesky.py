@@ -141,7 +141,6 @@ def _make_kernel(n: int, d: int, fused: bool, ablate: frozenset = frozenset()):
     then scratch: zk, zi[2], strip_k [nt-1, T, T], strip_i[2] [nt-1, T, T],
     diag, linv, tile, sems."""
     nt = n // T
-    ns = max(nt - 1, 1)
 
     def kernel(*refs):
         if fused:
@@ -369,9 +368,13 @@ def _fused_fwd(z, scale, diag):
 def _fused_bwd(res, Lbar):
     z, scale, L = res
     kbar = _chol_rev(L, Lbar)
-    sym = kbar + jnp.swapaxes(kbar, -1, -2)
-    zbar = scale * jnp.einsum("bnm,bmd->bnd", sym, z)
-    sbar = jnp.sum(kbar * jnp.einsum("bnd,bmd->bnm", z, z))
+    # Gram-free contractions: materialising Z Z^T here would allocate the
+    # very [B, N, N] buffer the fused forward exists to avoid. kbar@z is
+    # shared between zbar and sbar (sum(kbar * ZZ^T) == sum((kbar@Z) * Z)).
+    kz = jnp.einsum("bnm,bmd->bnd", kbar, z)
+    kzt = jnp.einsum("bmn,bmd->bnd", kbar, z)
+    zbar = scale * (kz + kzt)
+    sbar = jnp.sum(kz * z)
     dbar = jnp.sum(jnp.diagonal(kbar, axis1=-2, axis2=-1))
     return zbar, sbar, dbar
 

@@ -1,7 +1,12 @@
 """QMUL prep — reference filelists/QMUL/write_QMUL_filelist.py: convert the
 Set1_Greyscale .ras images to RGB jpgs under images/<person>/, then write
-base/val/novel.json where the label of each image is its PITCH (parsed from
-the filename suffix, write_QMUL_filelist.py:62-72)."""
+base/val/novel.json labelled with the reference's split('_')[-1] law
+(write_QMUL_filelist.py:62-72). NOTE: for {person}_{pitch}_{angle}.jpg
+filenames that last segment is the ANGLE, not the pitch — the reference
+does the same, and these jsons are reference-format artifacts only: the
+regression pipeline (data/qmul.py get_person_at_curve) parses pitch
+targets from filenames itself and never reads them. The 'ras' substring
+match/replace below is likewise the reference's own law, kept verbatim."""
 import os
 import sys
 from os import listdir
@@ -24,7 +29,9 @@ def convert_ras_to_jpg(src_root: str, dst_root: str) -> None:
                     join(dst_root, folder, cf.replace("ras", "jpg")))
 
 
-def pitch_label(_i: int, path: str) -> int:
+def reference_suffix_label(_i: int, path: str) -> int:
+    """The reference's label law: last '_' segment (the angle; see module
+    docstring — kept for byte-level parity, not used by the pipeline)."""
     return int(path.split("_")[-1].replace(".jpg", ""))
 
 
@@ -38,4 +45,4 @@ if __name__ == "__main__":
         {"base": lambda i: i % 2 == 0,
          "val": lambda i: i % 4 == 1,
          "novel": lambda i: i % 4 == 3},
-        label_fn=pitch_label)
+        label_fn=reference_suffix_label)

@@ -20,13 +20,16 @@ TRAIN_RANGE = (-5.0, 5.0)
 SAMPLE_SIZE = 200
 
 
-def parse_args(script: str, default_iters: int, argv=None):
+def parse_args(script: str, default_iters: int, argv=None,
+               default_task_batch: int = 1):
     p = argparse.ArgumentParser(description=f"sines {script}")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--iterations", default=default_iters, type=int,
                    help="training iterations (reference: 50000)")
-    p.add_argument("--task_batch", default=1, type=int,
-                   help="tasks per (vmapped) step; 1 = reference parity")
+    p.add_argument("--task_batch", default=default_task_batch, type=int,
+                   help="tasks per (vmapped) step; DKT/FT default 1 = "
+                        "reference parity; MAML defaults to 25 (the meta "
+                        "objective needs a task batch; reference uses 1000)")
     p.add_argument("--out_of_range", action="store_true",
                    help="test on x in (-5, +10) (reference test_range note)")
     p.add_argument("--n_test_tasks", default=500, type=int)

@@ -116,11 +116,14 @@ class SinesMAML:
 
 
 def main(argv=None):
-    args = common.parse_args("train_MAML", default_iters=10000, argv=argv)
+    args = common.parse_args("train_MAML", default_iters=10000, argv=argv,
+                             default_task_batch=25)
     rng = np.random.RandomState(args.seed)
     tasks = common.train_tasks()
 
-    maml = SinesMAML(meta_batch=max(args.task_batch, 25))
+    # an explicit --task_batch is honoured (no silent floor); the DEFAULT is
+    # 25 because MAML's meta objective averages over a task batch
+    maml = SinesMAML(meta_batch=args.task_batch)
     params, opt_state = maml.init(jax.random.PRNGKey(args.seed))
 
     for it in range(args.iterations):
