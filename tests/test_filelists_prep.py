@@ -141,3 +141,47 @@ def test_cross_digits_filelists(tmp_path):
     assert arr.shape[:2] == (28, 28)
     assert arr.max() > 180  # strokes are bright on a dark canvas
     assert np.median(arr) < 60
+
+
+def test_qmul_writer_convert_and_label_law(tmp_path):
+    """QMUL prep: .ras -> .jpg conversion + the reference's split('_')[-1]
+    label law (reference filelists/QMUL/write_QMUL_filelist.py:22-72; these
+    jsons are reference-format artifacts — the regression pipeline parses
+    pitch itself)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "filelists_tpu", "QMUL"))
+    from write_QMUL_filelist import (convert_ras_to_jpg,
+                                     reference_suffix_label)
+
+    src = tmp_path / "Set1_Greyscale"
+    people = ["AdamB", "KateS"]
+    pitches = ["060", "100"]
+    for person in people:
+        d = src / person
+        d.mkdir(parents=True)
+        for pitch in pitches:
+            # PIL sniffs content, not extension: a PNG payload named .ras
+            # stands in for Sun Raster in this read-convert-save test
+            Image.fromarray(np.full((10, 10), 90, np.uint8)).save(
+                d / f"{person}_{pitch}_090.ras", format="PNG")
+        (d / ".hidden.ras").write_bytes(b"junk")  # dotfiles skipped
+
+    dst = tmp_path / "images"
+    convert_ras_to_jpg(str(src), str(dst))
+    for person in people:
+        for pitch in pitches:
+            out = dst / person / f"{person}_{pitch}_090.jpg"
+            assert out.is_file(), out
+            assert Image.open(out).mode == "RGB"
+    assert not (dst / people[0] / ".hidden.jpg").exists()
+
+    # reference label law: LAST '_' segment (the angle — see writer docstring)
+    assert reference_suffix_label(0, "AdamB_100_090.jpg") == 90
+
+    folder_split_filelists(
+        str(dst), str(tmp_path),
+        {"base": lambda i: i % 2 == 0, "novel": lambda i: i % 4 == 3},
+        label_fn=reference_suffix_label)
+    meta = json.load(open(tmp_path / "base.json"))
+    assert meta["image_labels"] == [90] * len(meta["image_names"])
+    assert all(n.endswith(".jpg") for n in meta["image_names"])
