@@ -60,6 +60,13 @@ def reps_time(fn, *args, iters=3):
 
 
 def main():
+    import os
+
+    from deep_kernel_transfer_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache)
+
+    os.environ.setdefault("DKT_JIT_CACHE", "/tmp/_bench_jit_cache")
+    enable_persistent_jit_cache()
     model = DKT(Conv4(), n_way=N_WAY, n_support=N_SUPPORT,
                 kernel_type="bncossim")
     x1 = jnp.zeros((N_WAY, N_SUPPORT + N_QUERY, HW, HW, 3), jnp.float32)

@@ -390,11 +390,37 @@ def bench_kernels():
     return out
 
 
+def _record(out_path: str, update: dict) -> dict:
+    """Merge `update` into report.json ON DISK immediately: keys written by
+    other benchmarks (QMUL paper protocol, train_cli_e2e, resnet) must
+    survive an audit, and a crash/tunnel-drop in a later family must not
+    discard families already measured."""
+    report = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            report = json.load(f)
+    report.update(update)
+    tmp = out_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=2)
+    os.replace(tmp, out_path)
+    return report
+
+
 def main():
+    from deep_kernel_transfer_tpu.utils.jit_cache import (
+        enable_persistent_jit_cache)
+
+    os.environ.setdefault("DKT_JIT_CACHE", "/tmp/_bench_jit_cache")
+    enable_persistent_jit_cache()  # repeat audits skip the cold compiles
     _sync(jnp.zeros(()) + 1)  # backend init must land outside every timer
-    report = {"backend": jax.default_backend(),
-              "device_count": jax.device_count(),
-              "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "report.json")
+    report = _record(out_path, {"backend": jax.default_backend(),
+                                "device_count": jax.device_count(),
+                                "timestamp": time.strftime(
+                                    "%Y-%m-%d %H:%M:%S")})
+    failures = {}
     for name, fn in (("train", bench_train), ("eval", bench_eval),
                      ("device_data", bench_device_data),
                      ("methods", bench_methods),
@@ -403,17 +429,15 @@ def main():
                      ("host", bench_host_pipeline),
                      ("kernels", bench_kernels)):
         t0 = time.time()
-        report.update(fn())
+        try:
+            report = _record(out_path, fn())
+        except Exception as e:  # keep every already-measured family
+            failures[name] = f"{type(e).__name__}: {e}"
+            print(f"[{name}] FAILED: {failures[name]}")
+            continue
         print(f"[{name}] done in {time.time()-t0:.1f}s")
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "report.json")
-    # MERGE into the existing report: keys written by other benchmarks
-    # (QMUL paper protocol, train_cli_e2e, resnet) must survive an audit
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            report = {**json.load(f), **report}
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=2)
+    if failures:
+        report = _record(out_path, {"audit_failures": failures})
     print(json.dumps(report, indent=2))
 
 

@@ -143,15 +143,17 @@ class DeviceDataset:
         sub = meta.by_class()
         classes = sorted(sub.keys())
 
-        # decode each unique path once (classes can share images in
-        # principle; filelists in practice don't, but dedup is free)
+        # decode each unique (path, label) once: dedup within a class is
+        # free, but a path listed under TWO classes must stage twice or the
+        # feature path (save_features --device_data) would drop one label
+        # that the streaming loader emits
         paths: list[str] = []
         labels: list[int] = []
-        path_id: dict[str, int] = {}
+        path_id: dict[tuple[str, int], int] = {}
         for c in classes:
             for p in sub[c]:
-                if p not in path_id:
-                    path_id[p] = len(paths)
+                if (p, c) not in path_id:
+                    path_id[(p, c)] = len(paths)
                     paths.append(p)
                     labels.append(c)
 
@@ -189,7 +191,7 @@ class DeviceDataset:
         width = max(int(counts.max()), min_slots)
         table = np.empty((len(classes), width), np.int32)
         for ci, c in enumerate(classes):
-            ids = np.array([path_id[p] for p in sub[c]], np.int32)
+            ids = np.array([path_id[(p, c)] for p in sub[c]], np.int32)
             reps = -(-width // len(ids))
             table[ci] = np.tile(ids, reps)[:width]
 

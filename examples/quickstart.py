@@ -62,6 +62,9 @@ def main():
         if step % 10 == 0:
             print(f"step {step:3d}  loss {float(metrics['loss']):.4f}  "
                   f"outputscale {float(metrics['outputscale']):.3f}")
+    # device->host readback BEFORE stopping the clock: dispatches are
+    # async and block_until_ready can return at enqueue-ack on the tunnel
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     print(f"trained {STEPS * EPISODE_BATCH} episodes in {dt:.1f}s "
           f"({STEPS * EPISODE_BATCH / dt:.1f} eps/s incl. compile)")

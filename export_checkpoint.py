@@ -14,7 +14,6 @@ Usage (same experiment flags as test.py):
 """
 from __future__ import annotations
 
-import argparse
 import sys
 
 import jax
