@@ -51,28 +51,35 @@ def get_logits_targets_images(params_cli, model, params, seed: int):
     image_size = factory.resolve_image_size(params_cli)
     novel_file = factory.resolve_data_files(params_cli,
                                             split_for_test=params_cli.split)
+    episode_batch = max(params_cli.episode_batch, 1)
     if factory.use_device_data(params_cli, novel_file, image_size):
         # HBM-resident sampling, same as test.py (data/device_dataset.py)
         from deep_kernel_transfer_tpu.data.device_dataset import cached_dataset
 
         loader = cached_dataset(novel_file, image_size).epoch(
             seed, n_way, n_support, n_query, n_episodes=params_cli.n_iter,
-            episode_batch=1)
+            episode_batch=episode_batch)
     else:
         loader = EpisodicDataLoader(
             novel_file, image_size, n_way, n_support, n_query,
-            n_episodes=params_cli.n_iter, episode_batch=1, aug=False,
-            seed=seed, output_uint8=True)
-    logits, targets = [], []
+            n_episodes=params_cli.n_iter, episode_batch=episode_batch,
+            aug=False, seed=seed, output_uint8=True)
+    # ONE vmapped program over --episode_batch episodes (like test.py's
+    # standard path) instead of 600 sequential per-episode dispatches
+    per_episode = (model.episode_logits if hasattr(model, "episode_logits")
+                   else model.episode_scores)
+    batched = jax.jit(lambda p, xb: jax.vmap(
+        lambda x: per_episode(p, x))(xb))
     y = np.asarray(episode_labels(n_way, n_query))
+    outs = []
     for xb in loader:
-        if hasattr(model, "episode_logits"):
-            lg = model.episode_logits(params, jnp.asarray(xb[0]))
-        else:
-            lg = model.episode_scores(params, jnp.asarray(xb[0]))
-        logits.append(np.asarray(lg))
-        targets.append(y)
-    return np.concatenate(logits), np.concatenate(targets)
+        # keep results on device in the loop; read back after (a per-batch
+        # host sync would serialise dispatch with compute on the tunnel)
+        outs.append(batched(params, jnp.asarray(xb)))
+    logits = np.concatenate([np.asarray(o).reshape(-1, o.shape[-1])
+                             for o in outs])
+    n_episodes = sum(int(o.shape[0]) for o in outs)
+    return logits, np.tile(y, n_episodes)
 
 
 def get_logits_targets_features(params_cli, episode_logits_fn, cl_data,
