@@ -82,21 +82,31 @@ def get_logits_targets_images(params_cli, model, params, seed: int):
     return logits, np.tile(y, n_episodes)
 
 
-def get_logits_targets_features(params_cli, episode_logits_fn, cl_data,
+def get_logits_targets_features(params_cli, batched_logits_fn, cl_data,
                                 seed: int):
     """Stacked logits + labels from the HDF5 feature cache (reference
     test_uncertainty.py:201-224: 600 sampled feature episodes through
-    set_forward(is_feature=True))."""
+    set_forward(is_feature=True)). Episodes are scored --episode_batch at
+    a time through one vmapped program (the sampling RNG stream and the
+    per-episode PRNG keys are identical to the sequential law), with the
+    device->host readbacks deferred out of the loop."""
     rng = np.random.RandomState(seed)
     n_way, n_support, n_query = params_cli.test_n_way, params_cli.n_shot, 15
+    eb = max(params_cli.episode_batch, 1)
     y = np.asarray(episode_labels(n_way, n_query))
-    logits, targets = [], []
-    for i in range(params_cli.n_iter):
-        z = sample_feature_episode(cl_data, rng, n_way, n_support, n_query)
-        lg = episode_logits_fn(jnp.asarray(z), seed * 10000 + i)
-        logits.append(np.asarray(lg))
-        targets.append(y)
-    return np.concatenate(logits), np.concatenate(targets)
+    outs, done = [], 0
+    while done < params_cli.n_iter:
+        b = min(eb, params_cli.n_iter - done)
+        zb = np.stack([
+            sample_feature_episode(cl_data, rng, n_way, n_support, n_query)
+            for _ in range(b)])
+        keys = jnp.stack([jax.random.PRNGKey(seed * 10000 + done + j)
+                          for j in range(b)])
+        outs.append(batched_logits_fn(jnp.asarray(zb), keys))
+        done += b
+    logits = np.concatenate([np.asarray(o).reshape(-1, o.shape[-1])
+                             for o in outs])
+    return logits, np.tile(y, done)
 
 
 def _load_params(params_cli, model, image_size, n_support):
@@ -150,14 +160,14 @@ def make_collector(params_cli):
         loss_type = "dist" if params_cli.method == "baseline++" else "softmax"
         head = BaselineFinetune(feat_dim, params_cli.test_n_way, n_support,
                                 loss_type=loss_type)
-        fn = lambda z, s: head.episode_scores(jax.random.PRNGKey(s), z)
+        fn = jax.jit(jax.vmap(lambda z, k: head.episode_scores(k, z)))
         return lambda seed: get_logits_targets_features(
             params_cli, fn, cl_data, seed)
 
     model = factory.build_method(params_cli, params_cli.train_n_way, n_support)
     params = _load_params(params_cli, model, image_size, n_support)
-    scores = jax.jit(lambda z: model.scores_from_features(params, z))
-    fn = lambda z, s: scores(z)
+    fn = jax.jit(jax.vmap(
+        lambda z, k: model.scores_from_features(params, z)))
     return lambda seed: get_logits_targets_features(
         params_cli, fn, cl_data, seed)
 

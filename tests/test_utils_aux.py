@@ -139,3 +139,35 @@ def test_resolve_checkpoint_file(tmp_path, capsys):
     assert resolve_checkpoint_file(d).endswith("best_model.tar")
     assert resolve_checkpoint_file(d, save_iter=3).endswith("3.tar")
     assert capsys.readouterr().err == ""  # found -> no warning
+
+
+def test_calibration_collection_batch_invariant():
+    """get_logits_targets_features: grouping episodes into --episode_batch
+    chunks must not change the logits or targets (same sampling RNG stream,
+    same per-episode PRNG keys)."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from test_uncertainty import get_logits_targets_features
+
+    rng = np.random.RandomState(0)
+    cl_data = {c: [rng.rand(6).astype(np.float32) for _ in range(8)]
+               for c in range(5)}
+    # episode [n_way, S+Q, D] -> query logits [n_way*Q, n_way], shaped
+    # like the real scorers; deterministic but key-consuming
+    fn = jax.jit(jax.vmap(
+        lambda z, k: z[:, 2:, :].reshape(-1, z.shape[-1])[:, :3]
+        + jax.random.uniform(k, ()) * 0.0))
+
+    def collect(eb):
+        p = SimpleNamespace(test_n_way=3, n_shot=2, episode_batch=eb,
+                            n_iter=7)
+        return get_logits_targets_features(p, fn, cl_data, seed=5)
+
+    l1, t1 = collect(1)
+    l4, t4 = collect(4)  # 4 + 3 remainder
+    np.testing.assert_array_equal(t1, t4)
+    np.testing.assert_allclose(l1, l4, rtol=0, atol=0)
+    assert l1.shape == (7 * 3 * 15, 3)
