@@ -52,6 +52,29 @@ COMMON = ["--dataset=omniglot", "--model=Conv4", "--train_n_way=3",
           "--test_n_way=3", "--n_shot=2", "--seed=1"]
 
 
+def _ensure_dkt_ckpt():
+    """Self-provision the DKT checkpoint so tests run under -k selection."""
+    ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
+    if not os.path.isfile(ckpt):
+        train_cli.main(COMMON + ["--method=DKT", "--stop_epoch=1",
+                                 "--n_train_episodes=10"])
+    return ckpt
+
+
+def _ensure_protonet_features():
+    """Self-provision the protonet checkpoint + novel feature cache."""
+    import save_features as sf_cli
+
+    ckpt = "save/checkpoints/omniglot/Conv4S_protonet_3way_2shot/best_model.tar"
+    if not os.path.isfile(ckpt):
+        train_cli.main(COMMON + ["--method=protonet", "--stop_epoch=1",
+                                 "--n_train_episodes=3"])
+    feat = "save/features/omniglot/Conv4S_protonet_3way_2shot/novel.hdf5"
+    if not os.path.isfile(feat):
+        sf_cli.main(COMMON + ["--method=protonet", "--split=novel"])
+    return ckpt, feat
+
+
 def test_train_and_test_dkt_from_images(dataset_cwd):
     train_cli.main(COMMON + ["--method=DKT", "--stop_epoch=1",
                              "--n_train_episodes=10"])
@@ -93,9 +116,7 @@ def test_save_features_device_path_parity(dataset_cwd):
     import save_features as sf_cli
     from deep_kernel_transfer_tpu.data.feature_cache import init_loader
 
-    ckpt = "save/checkpoints/omniglot/Conv4S_protonet_3way_2shot/best_model.tar"
-    assert os.path.isfile(ckpt), "run order: protonet train must come first"
-    feat = "save/features/omniglot/Conv4S_protonet_3way_2shot/novel.hdf5"
+    ckpt, feat = _ensure_protonet_features()
 
     sf_cli.main(COMMON + ["--method=protonet", "--split=novel",
                           "--device_data=on"])
@@ -114,8 +135,7 @@ def test_save_features_device_path_parity(dataset_cwd):
 def test_dkt_laplace_and_adaptation_heads(dataset_cwd):
     """--laplace (Laplace GPC head) and --adaptation (GP hyperparameter
     finetune) test-time variants over the trained DKT checkpoint."""
-    ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
-    assert os.path.isfile(ckpt), "run order: DKT train must come first"
+    _ensure_dkt_ckpt()
     # episode_batch=2: the special heads batch episodes like the standard
     # path (batch_correct_laplace / batch_correct_adapted)
     test_cli.main(COMMON + ["--method=DKT", "--n_iter=2", "--repeat=1",
@@ -131,9 +151,8 @@ def test_uncertainty_cli_runs_after_dkt(dataset_cwd):
     (reference test_uncertainty.py protocol)."""
     import test_uncertainty as tu_cli
 
-    # reuses the checkpoint written by test_train_and_test_dkt_from_images
-    ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
-    assert os.path.isfile(ckpt), "run order: DKT train test must come first"
+    # reuses (or provisions) the DKT checkpoint
+    _ensure_dkt_ckpt()
     tu_cli.main(COMMON + ["--method=DKT", "--n_iter=2", "--repeat=1"])
 
 
@@ -160,8 +179,7 @@ def test_uncertainty_feature_method_protonet(dataset_cwd):
     logits come from sampled feature episodes, not raw images."""
     import test_uncertainty as tu_cli
 
-    feat = "save/features/omniglot/Conv4S_protonet_3way_2shot/novel.hdf5"
-    assert os.path.isfile(feat), "run order: protonet save_features first"
+    _ensure_protonet_features()
     tu_cli.main(COMMON + ["--method=protonet", "--n_iter=2", "--repeat=1"])
 
 
@@ -285,8 +303,7 @@ def test_export_checkpoint_cli(dataset_cwd, tmp_path):
     torch = pytest.importorskip("torch")
     import export_checkpoint as export_cli
 
-    ckpt = "save/checkpoints/omniglot/Conv4S_DKT_3way_2shot/best_model.tar"
-    assert os.path.isfile(ckpt), "run order: DKT train must come first"
+    _ensure_dkt_ckpt()
     out = str(tmp_path / "exported.torch.tar")
     export_cli.main(COMMON + ["--method=DKT", f"--out={out}"])
 
