@@ -141,7 +141,42 @@ def _cpu_baseline() -> float:
     return eps
 
 
+def _probe_device(timeout_s: int = 120) -> str | None:
+    """Bounded device-availability probe in a subprocess.
+
+    When the TPU tunnel relay dies, EVERY jax dispatch — even
+    jax.devices() — hangs with no error (CLAUDE.md). A hung bench run
+    leaves the driver with no artifact at all; probing in a killable
+    subprocess turns that into a diagnosable JSON error line instead."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if proc.returncode == 0:
+            return None
+        return f"device init failed: {proc.stderr[-300:]}"
+    except subprocess.TimeoutExpired:
+        return (f"device init hung >{timeout_s}s "
+                "(TPU tunnel relay down? see CLAUDE.md)")
+    except OSError as e:
+        return f"probe failed: {e}"
+
+
 def main():
+    err = _probe_device()
+    if err is not None:
+        print(json.dumps({
+            "metric": "dkt_train_episodes_per_sec",
+            "value": 0.0,
+            "unit": "episodes/s",
+            "vs_baseline": 0.0,
+            "error": err,
+        }))
+        raise SystemExit(1)
     # persistent executable cache: skips the multi-minute cold XLA compile
     # on repeat runs; measured step time is unaffected (cache only serves
     # compiled executables)
