@@ -265,7 +265,7 @@ def spectral_mixture_kernel(num_mixtures: int, ard_num_dims: int) -> Kernel:
 
         n1, n2 = x1.shape[0], x2.shape[0]
         out, _ = jax.lax.scan(
-            one_mixture, jnp.zeros((n1, n2), jnp.float32), (w, mu, sig)
+            one_mixture, jnp.zeros((n1, n2), x1.dtype), (w, mu, sig)
         )
         return out
 
@@ -284,9 +284,12 @@ def initialize_spectral_from_data(params: dict, x: "Array", y: "Array",
     """
     q, d = params["raw_means"].shape
     xs = jnp.sort(x, axis=0)  # [N, D]
-    gaps = jnp.diff(xs, axis=0)  # [N-1, D]
-    min_dist = jnp.min(jnp.where(gaps > 0, gaps, jnp.inf), axis=0)  # [D]
-    min_dist = jnp.where(jnp.isfinite(min_dist), min_dist, 1.0)
+    gaps = jnp.diff(xs, axis=0)  # [N-1, D]  (zero-size when N == 1)
+    if gaps.shape[0] == 0:  # single-point task: fall back to unit spacing
+        min_dist = jnp.ones((xs.shape[1],), xs.dtype)
+    else:
+        min_dist = jnp.min(jnp.where(gaps > 0, gaps, jnp.inf), axis=0)  # [D]
+        min_dist = jnp.where(jnp.isfinite(min_dist), min_dist, 1.0)
     max_dist = jnp.maximum(xs[-1] - xs[0], 1e-6)  # [D]
 
     k1, k2 = jax.random.split(key)

@@ -71,6 +71,10 @@ def laplace_predict_proba(x_train: Array, t: Array, x_query: Array,
     sigmoid(f* / sqrt(1 + pi v / 8))."""
     K = rbf_gram(x_train, x_train, lengthscale, outputscale)
     f_hat = _newton_mode(K, t, n_iters)
+    # NOT a duplicate of the loop's last iteration: the loop computes
+    # pi/W/L at the PENULTIMATE iterate to produce f_hat; prediction needs
+    # them AT the converged mode (R&W Algorithm 3.2 line 2), so one
+    # recompute here is required for exactness.
     pi = jax.nn.sigmoid(f_hat)
     W = pi * (1.0 - pi)
     sw = jnp.sqrt(W)

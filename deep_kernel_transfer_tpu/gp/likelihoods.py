@@ -36,11 +36,14 @@ class GaussianLikelihood(NamedTuple):
         if not self.trainable:
             # a requested value that differs from the baked-in constant
             # would be silently discarded — surface it instead
-            assert noise is None or float(noise) == float(self.fixed_noise), (
-                f"init(noise={noise}) on a non-trainable likelihood with "
-                f"fixed_noise={self.fixed_noise}: construct "
-                "GaussianLikelihood(trainable=False, fixed_noise=noise) "
-                "instead")
+            if noise is not None and float(noise) != float(self.fixed_noise):
+                # raise (not assert: python -O strips asserts) — the value
+                # would otherwise be silently discarded
+                raise ValueError(
+                    f"init(noise={noise}) on a non-trainable likelihood "
+                    f"with fixed_noise={self.fixed_noise}: construct "
+                    "GaussianLikelihood(trainable=False, fixed_noise=noise) "
+                    "instead")
             return {}
         if noise is None:
             return {"raw_noise": jnp.zeros(())}  # softplus(0) like gpytorch

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 # no cycle: exact.py only imports this module inside function bodies
-from .exact import _LOG_2PI, _chol_solve as _cho_solve, psd_safe_cholesky
+from .exact import (_LOG_2PI, _chol_solve as _cho_solve, _pad_gram,
+                    _padded_size, psd_safe_cholesky)
 from .kernels import hdot
 
 Array = jax.Array
@@ -40,11 +41,19 @@ _dot = hdot
 
 
 def _m_chol(z: Array, s, noise):
-    """Cholesky of M = s^-1 I + noise^-1 Z^T Z (the [D, D] capacitance)."""
+    """Cholesky of M = s^-1 I + noise^-1 Z^T Z (the [D, D] capacitance).
+
+    The factorisation goes through the same identity-pad workaround as the
+    dense path (exact._padded_size): a capacitance dim D in the 84-89 band
+    would otherwise re-expose the cholesky-derivative scoped-VMEM compile
+    failure the pad exists to avoid. The pad is exact (identity block) and
+    solves against zero-padded vectors return the leading block, so every
+    consumer slices [:d]."""
     d = z.shape[-1]
     g = _dot(z.T, z)
     m = g / noise + jnp.eye(d, dtype=z.dtype) / s
-    return psd_safe_cholesky(m)
+    d_pad = _padded_size(d)
+    return psd_safe_cholesky(_pad_gram(m, d_pad))
 
 
 def woodbury_mll(z: Array, diff: Array, s, noise) -> Array:
@@ -52,9 +61,11 @@ def woodbury_mll(z: Array, diff: Array, s, noise) -> Array:
     (matches ExactGP.mll for low-rank kernels)."""
     n, d = z.shape
     t = _dot(z.T, diff)  # [D]
-    lc = _m_chol(z, s, noise)
-    quad = (_dot(diff, diff) - _dot(t, _cho_solve(lc, t)) / noise) / noise
+    lc = _m_chol(z, s, noise)  # [Dp, Dp], identity-padded (exact)
+    t_pad = jnp.pad(t, (0, lc.shape[-1] - d))
+    quad = (_dot(diff, diff) - _dot(t_pad, _cho_solve(lc, t_pad)) / noise) / noise
     logdet = (n * jnp.log(noise) + d * jnp.log(s)
+              # the identity pad's diagonal is 1s: adds exactly 0
               + 2.0 * jnp.sum(jnp.log(jnp.diagonal(lc))))
     return -0.5 * (quad + logdet + n * _LOG_2PI) / n
 
@@ -80,11 +91,15 @@ def woodbury_posterior(
     prior and correction terms agree to ~3 decimal digits) and is
     positive-semidefinite by construction.
     Returns (mean_adjustment [M], var [M], cov [M, M] | None)."""
+    d = z_train.shape[-1]
     t = _dot(z_train.T, diff)
-    lc = _m_chol(z_train, s, noise)
-    mean_adj = _dot(z_query, _cho_solve(lc, t)) / noise
-    # U = Lc^-1 Zq^T  =>  Zq M^-1 Zq^T = U^T U
-    u = jax.scipy.linalg.solve_triangular(lc, z_query.T, lower=True)
+    lc = _m_chol(z_train, s, noise)  # [Dp, Dp], identity-padded (exact)
+    t_pad = jnp.pad(t, (0, lc.shape[-1] - d))
+    mean_adj = _dot(z_query, _cho_solve(lc, t_pad)[:d]) / noise
+    # U = Lc^-1 Zq^T  =>  Zq M^-1 Zq^T = U^T U; zero-padded rows of Zq^T
+    # solve to zero rows of U under the block-diag factor, adding 0 to U^T U
+    zq_pad = jnp.pad(z_query.T, ((0, lc.shape[-1] - d), (0, 0)))
+    u = jax.scipy.linalg.solve_triangular(lc, zq_pad, lower=True)
     var = jnp.sum(u * u, axis=0)
     if full_covariance:
         return mean_adj, var, _dot(u.T, u)

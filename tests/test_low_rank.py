@@ -146,3 +146,56 @@ def test_vmapped_sum_mll_jits():
     out = float(f(params, x, yb))
     ref = float(sum_mll(gp_dense, params, x, yb))
     assert abs(out - ref) < 5e-3 * max(1.0, abs(ref))
+
+
+def test_woodbury_padded_capacitance_band_parity():
+    """Feature dims D in the 84-89 cholesky-bwd band route through the
+    identity-pad workaround inside _m_chol; MLL, its gradient, and the
+    posterior must stay exactly parity with the unpadded math (D=80)."""
+    from deep_kernel_transfer_tpu.gp.low_rank import (woodbury_mll,
+                                                      woodbury_posterior)
+
+    for d in (80, 85):  # outside / inside the padded band
+        key = jax.random.PRNGKey(d)
+        z = jax.random.normal(key, (200, d)) * 0.3
+        zq = jax.random.normal(jax.random.PRNGKey(d + 1), (7, d)) * 0.3
+        diff = jax.random.normal(jax.random.PRNGKey(d + 2), (200,))
+        s, noise = 0.7, 0.2
+        # dense oracle
+        k = s * (z @ z.T) + noise * jnp.eye(200)
+        L = jnp.linalg.cholesky(k)
+        alpha = jax.scipy.linalg.cho_solve((L, True), diff)
+        mll_dense = -0.5 * (diff @ alpha
+                            + 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
+                            + 200 * jnp.log(2 * jnp.pi)) / 200
+        np.testing.assert_allclose(
+            float(woodbury_mll(z, diff, s, noise)), float(mll_dense),
+            rtol=2e-5)
+        g = jax.grad(lambda zz: woodbury_mll(zz, diff, s, noise))(z)
+        assert np.all(np.isfinite(np.asarray(g)))
+        mean_adj, var, _ = woodbury_posterior(z, diff, zq, s, noise)
+        mean_dense = s * (zq @ (z.T @ alpha))
+        np.testing.assert_allclose(np.asarray(mean_adj),
+                                   np.asarray(mean_dense), rtol=2e-4,
+                                   atol=2e-4)
+        kqq = s * (zq @ zq.T)
+        kqt = s * (zq @ z.T)
+        cov_dense = kqq - kqt @ jax.scipy.linalg.cho_solve((L, True), kqt.T)
+        np.testing.assert_allclose(np.asarray(var),
+                                   np.asarray(jnp.diagonal(cov_dense)),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_spectral_init_single_point_task():
+    """initialize_spectral_from_data must not crash on a 1-sample task
+    (zero-size gaps axis -> unit-spacing fallback)."""
+    from deep_kernel_transfer_tpu.gp.kernels import (
+        initialize_spectral_from_data, make_kernel)
+
+    kern = make_kernel("spectral", dim=3, num_mixtures=4)
+    params = kern.init(jax.random.PRNGKey(0))
+    x1 = jnp.ones((1, 3))
+    y1 = jnp.ones((1,))
+    out = initialize_spectral_from_data(params, x1, y1,
+                                        jax.random.PRNGKey(1))
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in out.values())
