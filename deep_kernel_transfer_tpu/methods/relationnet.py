@@ -37,6 +37,18 @@ class RelationConvBlock(nn.Module):
         return x
 
 
+def relation_module_geometry(h: int, w: int) -> tuple[int, int, int]:
+    """(hs, ws, padding) of the relation scorer's post-conv map.
+
+    Single source of the geometry law (reference relationnet.py:138-141):
+    padding 1 on small maps, two (conv 3x3 pad p -> 2x2 maxpool) shrinks.
+    torch_import/torch_export derive the fc1 flatten permutation from it —
+    keep the three sites in lockstep by keeping ONE site."""
+    padding = 1 if (h < 10 and w < 10) else 0
+    shrink = lambda s: ((s - 2 + 2 * padding) // 2 - 2 + 2 * padding) // 2
+    return shrink(h), shrink(w), padding
+
+
 class RelationModule(nn.Module):
     """Two conv blocks + 2 dense layers -> relation score
     (reference relationnet.py:128-154). Input [B, H, W, 2C]."""
@@ -48,7 +60,7 @@ class RelationModule(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         h, w, c = self.feat_shape
-        padding = 1 if (h < 10 and w < 10) else 0
+        _, _, padding = relation_module_geometry(h, w)
         x = RelationConvBlock(c, padding=padding)(x, train)
         x = RelationConvBlock(c, padding=padding)(x, train)
         x = x.reshape(x.shape[0], -1)

@@ -34,6 +34,7 @@ import numpy as np
 
 from .torch_import import (
     _conv_out_hwc,
+    flatten_perm,
     _inv_softplus,
     _softplus,
     chw_to_hwc_perm,
@@ -182,8 +183,7 @@ def _export_dkt(model, params: dict, image_size: int) -> dict:
     bb = model.feature.backbone
     out = export_backbone(_feature_vars(params), bb, prefix="feature.")
     if model.kernel_type == "bncossim":
-        h, w, c = _conv_out_hwc(bb, image_size)
-        inv = _inv(chw_to_hwc_perm(h, w, c))
+        inv = _inv(flatten_perm(bb, image_size))
         feat = params["feature"]
         bn = feat["params"]["EpisodicBatchNorm_0"]
         st = feat["batch_stats"]["EpisodicBatchNorm_0"]
@@ -214,10 +214,13 @@ def _export_dkt(model, params: dict, image_size: int) -> dict:
         if "raw_variance" in base:
             out[f"{p}covar_module.base_kernel.raw_variance"] = np.asarray(
                 base["raw_variance"], np.float32)[w_i].reshape(1)
+        # gpytorch registers raw_noise as shape [1] (HomoskedasticNoise
+        # with empty batch_shape); a [1, 1] here makes the reference's
+        # load_state_dict raise a size mismatch even with strict=False
         out[f"{p}likelihood.noise_covar.raw_noise"] = (
-            np.float32(raw_noise).reshape(1, 1))
+            np.float32(raw_noise).reshape(1))
         out[f"likelihood.likelihoods.{w_i}.noise_covar.raw_noise"] = (
-            np.float32(raw_noise).reshape(1, 1))
+            np.float32(raw_noise).reshape(1))
     return out
 
 
@@ -227,8 +230,7 @@ def _export_baseline(model, params: dict, image_size: int) -> dict:
     fvars = {"params": net["params"]["backbone"],
              "batch_stats": net.get("batch_stats", {}).get("backbone", {})}
     out = export_backbone(fvars, bb, prefix="feature.")
-    h, w, c = _conv_out_hwc(bb, image_size)
-    inv = _inv(chw_to_hwc_perm(h, w, c) if h * w > 1 else np.arange(c))
+    inv = _inv(flatten_perm(bb, image_size))
     if "Dense_0" in net["params"]:  # softmax head
         head = net["params"]["Dense_0"]
         out["classifier.weight"] = np.asarray(
@@ -249,8 +251,7 @@ def _export_maml(model, params: dict, image_size: int) -> dict:
     fvars = {"params": net["params"]["backbone"],
              "batch_stats": net.get("batch_stats", {}).get("backbone", {})}
     out = export_backbone(fvars, bb, prefix="feature.")
-    h, w, c = _conv_out_hwc(bb, image_size)
-    inv = _inv(chw_to_hwc_perm(h, w, c) if h * w > 1 else np.arange(c))
+    inv = _inv(flatten_perm(bb, image_size))
     head = net["params"]["Dense_0"]
     out["classifier.weight"] = np.asarray(head["kernel"], np.float32)[inv].T
     out["classifier.bias"] = np.asarray(head["bias"], np.float32)
@@ -286,8 +287,7 @@ def _export_lstm_cell(cell: dict, prefix: str, perm_in: np.ndarray,
 def _export_matchingnet(model, params: dict, image_size: int) -> dict:
     bb = model.feature
     out = export_backbone(params["feature"], bb, prefix="feature.")
-    h, w, c = _conv_out_hwc(bb, image_size)
-    perm = (chw_to_hwc_perm(h, w, c) if h * w > 1 else np.arange(c))
+    perm = flatten_perm(bb, image_size)
     d = perm.shape[0]
     perm2 = np.concatenate([perm, perm + d])
     out.update(_export_lstm_cell(
@@ -306,9 +306,9 @@ def _export_relationnet(model, params: dict) -> dict:
     out = export_backbone(params["feature"], model.feature,
                           prefix="feature.")
     h, w, c = model.feat_shape
-    padding = 1 if (h < 10 and w < 10) else 0
-    shrink = lambda s: ((s - 2 + 2 * padding) // 2 - 2 + 2 * padding) // 2
-    hs, ws = shrink(h), shrink(w)
+    from ..methods.relationnet import relation_module_geometry
+
+    hs, ws, _ = relation_module_geometry(h, w)
     rp = params["relation"]["params"]
     rs = params["relation"]["batch_stats"]
     for i, layer in enumerate(("layer1", "layer2")):
@@ -356,8 +356,7 @@ def _export_dkt_regression(model, params: dict,
             gp["covar_module.base_kernel.raw_lengthscale"] = np.asarray(
                 kern["base"]["raw_lengthscale"], np.float32).reshape(1, 1)
     elif "raw_weights" in kern:
-        h, w, c = _conv_out_hwc(bb, image_size)
-        inv = _inv(chw_to_hwc_perm(h, w, c))
+        inv = _inv(flatten_perm(bb, image_size))
         q = np.asarray(kern["raw_weights"]).reshape(-1).shape[0]
         gp["covar_module.raw_mixture_weights"] = np.asarray(
             kern["raw_weights"], np.float32).reshape(q)
@@ -378,8 +377,7 @@ def _export_feature_transfer(model, params: dict,
     net = params["net"]
     feats = export_backbone({"params": net["params"]["backbone"]}, bb,
                             prefix="")
-    h, w, c = _conv_out_hwc(bb, image_size)
-    inv = _inv(chw_to_hwc_perm(h, w, c) if h * w > 1 else np.arange(c))
+    inv = _inv(flatten_perm(bb, image_size))
     head = net["params"]["Dense_0"]
     reg = {"layer4.weight": np.asarray(head["kernel"], np.float32)[inv].T,
            "layer4.bias": np.asarray(head["bias"], np.float32)}

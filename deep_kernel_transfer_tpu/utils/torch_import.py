@@ -117,6 +117,22 @@ def load_torch_state(path: str) -> tuple[dict[str, np.ndarray], int]:
 # --------------------------------------------------------------------------
 
 
+def flatten_perm(backbone, image_size: int) -> np.ndarray:
+    """Permutation mapping torch's flattened trunk features to ours.
+
+    Reshape-flattened maps (ConvNet/Conv3: our flatten is HWC-order, the
+    reference's is CHW) need chw_to_hwc_perm; POOLED trunks (ResNet:
+    global avg pool on both sides) emit channel-ordered vectors on both
+    sides, so the perm is the identity even though the pre-pool map has
+    h*w > 1 — indexing a [C]-sized head with an h*w*C perm would crash."""
+    from ..models import backbones as B
+
+    h, w, c = _conv_out_hwc(backbone, image_size)
+    if isinstance(backbone, B.ResNet) or h * w == 1:
+        return np.arange(c)
+    return chw_to_hwc_perm(h, w, c)
+
+
 def chw_to_hwc_perm(h: int, w: int, c: int) -> np.ndarray:
     """perm such that v_hwc = v_chw[perm]: torch flattens [C, H, W]
     channel-major, this repo flattens [H, W, C]."""
@@ -344,7 +360,11 @@ def _gp_scalars_per_way(state: dict, n_way: int, kernel_type: str) -> dict:
 def _retree(template, new):
     """new (numpy pytree with the same structure as template, matched by
     path) cast onto template's dtypes; leaves missing from new keep the
-    template's value."""
+    template's value. Imported leaves whose path does NOT exist in the
+    template are a hard error: silently dropping them would leave the
+    corresponding module randomly initialised (e.g. a softmax baseline
+    checkpoint imported into a baseline++ model, or a key typo in an
+    import function) and evaluate at chance with no diagnostic."""
     import jax
 
     flat_new = {
@@ -353,9 +373,11 @@ def _retree(template, new):
     }
     paths, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
+    consumed = set()
     for p, leaf in paths:
         key = jax.tree_util.keystr(p)
         if key in flat_new:
+            consumed.add(key)
             arr = np.asarray(flat_new[key])
             want = np.shape(leaf)
             if arr.shape != want:
@@ -364,6 +386,12 @@ def _retree(template, new):
             leaves.append(arr.astype(np.asarray(leaf).dtype))
         else:
             leaves.append(leaf)
+    unconsumed = sorted(set(flat_new) - consumed)
+    if unconsumed:
+        raise ValueError(
+            "torch import: imported leaves with no destination in the "
+            f"model's parameter tree (head/type mismatch?): {unconsumed[:8]}"
+            + (" ..." if len(unconsumed) > 8 else ""))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -377,8 +405,7 @@ def import_dkt(state: dict, model, params: dict, image_size: int) -> dict:
     if model.kernel_type == "bncossim":
         # trunk-appended BatchNorm1d over CHW-flattened features
         # (reference methods/DKT.py:45-48) -> permute to our HWC flatten
-        h, w, c = _conv_out_hwc(bb, image_size)
-        perm = chw_to_hwc_perm(h, w, c)
+        perm = flatten_perm(bb, image_size)
         bp, bs = _bn(state, "feature.trunk.bn_out")
         bp = {k: v[perm] for k, v in bp.items()}
         bs = {k: v[perm] for k, v in bs.items()}
@@ -404,9 +431,7 @@ def import_baseline(state: dict, model, params: dict,
     bb = model.net.backbone
     fvars = import_backbone(state, bb, prefix="feature.")
 
-    h, w, c = _conv_out_hwc(bb, image_size)
-    perm = (chw_to_hwc_perm(h, w, c) if h * w > 1
-            else np.arange(c))  # 1x1 maps flatten identically
+    perm = flatten_perm(bb, image_size)
 
     if "classifier.weight" in state:  # softmax head: torch [out, in]
         head_key = "Dense_0"
@@ -468,9 +493,7 @@ def import_matchingnet(state: dict, model, params: dict,
     fvars = import_backbone(state, bb, prefix="feature.")
     new = _merge_feature(params, fvars)
 
-    h, w, c = _conv_out_hwc(bb, image_size)
-    perm = (chw_to_hwc_perm(h, w, c) if h * w > 1
-            else np.arange(c))
+    perm = flatten_perm(bb, image_size)
     d = perm.shape[0]
     perm2 = np.concatenate([perm, perm + d])  # cat(f, r) halves
     new = {**new,
@@ -492,8 +515,7 @@ def import_maml(state: dict, model, params: dict, image_size: int) -> dict:
     bb = model.net.backbone
     fvars = import_backbone(state, bb, prefix="feature.")
 
-    h, w, c = _conv_out_hwc(bb, image_size)
-    perm = (chw_to_hwc_perm(h, w, c) if h * w > 1 else np.arange(c))
+    perm = flatten_perm(bb, image_size)
     head = {"kernel": state["classifier.weight"].T[perm].astype(np.float32),
             "bias": state["classifier.bias"].astype(np.float32)}
 
@@ -519,10 +541,10 @@ def import_relationnet(state: dict, model, params: dict) -> dict:
     fvars = import_backbone(state, bb, prefix="feature.")
     new = _merge_feature(params, fvars)
 
+    from ..methods.relationnet import relation_module_geometry
+
     h, w, c = model.feat_shape
-    padding = 1 if (h < 10 and w < 10) else 0
-    shrink = lambda s: ((s - 2 + 2 * padding) // 2 - 2 + 2 * padding) // 2
-    hs, ws = shrink(h), shrink(w)
+    hs, ws, _ = relation_module_geometry(h, w)
 
     rp: dict[str, Any] = {}
     rs: dict[str, Any] = {}
@@ -581,8 +603,7 @@ def import_feature_transfer(state: dict, model, params: dict,
     bb = model.net.backbone
     fvars = import_backbone(state, bb, prefix="feature_extractor.")
 
-    h, w, c = _conv_out_hwc(bb, image_size)
-    perm = (chw_to_hwc_perm(h, w, c) if h * w > 1 else np.arange(c))
+    perm = flatten_perm(bb, image_size)
     head = {"kernel": state["model.layer4.weight"].T[perm].astype(np.float32),
             "bias": state["model.layer4.bias"].astype(np.float32)}
     net = {"params": {**params["net"]["params"],
@@ -612,8 +633,7 @@ def import_dkt_regression(state: dict, model, params: dict,
     elif "gp.covar_module.raw_mixture_weights" in state:
         # SpectralMixtureKernel (reference DKT_regression.py:117-124):
         # raw_mixture_{weights,means,scales}, means/scales [q, 1, d]
-        h, w, c = _conv_out_hwc(bb, image_size)
-        perm = chw_to_hwc_perm(h, w, c)
+        perm = flatten_perm(bb, image_size)
         q = state["gp.covar_module.raw_mixture_weights"].reshape(-1).shape[0]
         means = state["gp.covar_module.raw_mixture_means"].reshape(q, -1)
         scales = state["gp.covar_module.raw_mixture_scales"].reshape(q, -1)

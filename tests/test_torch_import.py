@@ -621,6 +621,11 @@ def test_export_roundtrip_dkt_bncossim():
     template = model.init(jax.random.PRNGKey(7), x).params  # different seed
 
     state = TE.export_method_state("DKT", model, params, 84)
+    # gpytorch registers raw_noise with shape [1] (HomoskedasticNoise,
+    # empty batch_shape); any other shape fails the reference's
+    # load_state_dict with a size mismatch
+    assert np.asarray(
+        state["likelihood.likelihoods.0.noise_covar.raw_noise"]).shape == (1,)
     back = TI.import_dkt(state, model, template, 84)
     _tree_allclose(params, back)
 
@@ -699,3 +704,34 @@ def test_export_roundtrip_regression_methods(tmp_path):
     TE.export_method_checkpoint(f2, "transfer", ft, st.params, 100)
     back, _ = TI.import_method_checkpoint(f2, "transfer", ft, st2.params, 100)
     _tree_allclose(st.params, back)
+
+
+def test_flatten_perm_pooled_vs_reshaped_trunks():
+    """Pooled trunks (ResNet global avg pool) emit channel-ordered features
+    on BOTH sides, so the flatten perm is the identity even though the
+    pre-pool map has h*w > 1; reshape-flattened ConvNets need the CHW
+    permutation. (Indexing a [C]-sized head with an h*w*C perm crashed
+    every ResNet head import before this law existed.)"""
+    perm = TI.flatten_perm(B.ResNet10(), 56)  # pre-pool map 2x2x512
+    np.testing.assert_array_equal(perm, np.arange(512))
+    perm224 = TI.flatten_perm(B.ResNet10(), 224)  # pre-pool 7x7x512
+    np.testing.assert_array_equal(perm224, np.arange(512))
+    conv_perm = TI.flatten_perm(B.Conv4(), 84)  # reshape flatten: 5x5x64
+    assert conv_perm.shape == (5 * 5 * 64,)
+    assert not np.array_equal(conv_perm, np.arange(conv_perm.shape[0]))
+
+
+def test_export_roundtrip_baseline_resnet10():
+    """Head import/export for a POOLED trunk (the ResNet crash case):
+    baseline round trip at 56px where the pre-pool map is 2x2x512."""
+    from deep_kernel_transfer_tpu.methods import BaselineTrain
+    from deep_kernel_transfer_tpu.utils import torch_export as TE
+
+    bl = BaselineTrain(B.ResNet10(), 6, loss_type="softmax")
+    xb = jnp.zeros((2, 56, 56, 3), jnp.float32)
+    params = bl.init(jax.random.PRNGKey(0), xb).params
+    template = bl.init(jax.random.PRNGKey(7), xb).params
+    back = TI.import_baseline(
+        TE.export_method_state("baseline", bl, params, 56),
+        bl, template, 56)
+    _tree_allclose(params, back)
