@@ -184,10 +184,8 @@ class EpisodicMethod:
     def batch_scores(self, params, xb: Array) -> Array:
         fn = self.__dict__.get("_batch_scores_fn")
         if fn is None:
-            import jax as _jax
-
-            fn = _jax.jit(
-                lambda params, xb: _jax.vmap(
+            fn = jax.jit(
+                lambda params, xb: jax.vmap(
                     lambda x: self.episode_scores(params, x)
                 )(xb)
             )

@@ -98,7 +98,7 @@ class BaselineFinetune:
         if loss_type == "dist":
             self.head = DistLinear(n_way)
         else:
-            self.head = _DenseHead(n_way)
+            self.head = nn.Dense(n_way)
         # SGD(0.01, momentum=.9, dampening=.9, wd=1e-3) — baselinefinetune.py:37
         self.tx = torch_sgd()
 
@@ -159,10 +159,3 @@ class BaselineFinetune:
         pred = jnp.argmax(scores, axis=-1)
         return float(jnp.sum(pred == y)), int(self.n_way * n_query)
 
-
-class _DenseHead(nn.Module):
-    n_way: int
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        return nn.Dense(self.n_way)(x)

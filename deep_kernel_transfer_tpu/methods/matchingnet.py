@@ -36,17 +36,24 @@ class FullyContextualEmbedding(nn.Module):
         cell = nn.OptimizedLSTMCell(self.feat_dim)
         K = G.shape[0]
 
-        # Python loop, NOT lax.scan: a linen submodule may not be first
-        # called inside a scan body (its freshly-created params would leak as
-        # tracers). K is static and small; params are shared across steps.
-        h = f
-        c = jnp.zeros_like(f)
-        for _ in range(K):
+        def one(c: Array, h: Array) -> tuple[Array, Array]:
             a = jax.nn.softmax(h @ G.T, axis=-1)  # [Q, K]
             r = a @ G  # [Q, D]
             x = jnp.concatenate([f, r], axis=-1)  # [Q, 2D]
             (c, h), _ = cell((c, h), x)
-            h = h + f  # residual (matchingnet.py:96)
+            return c, h + f  # residual (matchingnet.py:96)
+
+        # Step 0 runs eagerly so the cell's params are materialised OUTSIDE
+        # the scan (a submodule may not be first called inside a scan body —
+        # its freshly-created params would leak as tracers); the remaining
+        # K-1 steps share them through ONE traced body instead of a K-fold
+        # unrolled graph (the unroll dominated MatchingNet compile time).
+        c, h = one(jnp.zeros_like(f), f)
+
+        def body(carry, _):
+            return one(*carry), None
+
+        (c, h), _ = jax.lax.scan(body, (c, h), None, length=K - 1)
         return h
 
 

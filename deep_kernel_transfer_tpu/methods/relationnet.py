@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -41,12 +43,21 @@ def relation_module_geometry(h: int, w: int) -> tuple[int, int, int]:
     """(hs, ws, padding) of the relation scorer's post-conv map.
 
     Single source of the geometry law (reference relationnet.py:138-141):
-    padding 1 on small maps, two (conv 3x3 pad p -> 2x2 maxpool) shrinks.
-    torch_import/torch_export derive the fc1 flatten permutation from it —
-    keep the three sites in lockstep by keeping ONE site."""
+    padding 1 on small maps, then per block conv 3x3 (pad p) followed by a
+    2x2 maxpool that RelationConvBlock SKIPS (both dims) whenever either
+    post-conv dim is < 2 — the skip must be modelled here too or
+    torch_import/torch_export would derive a wrong fc1 permutation size
+    for small/asymmetric maps. Keep the sites in lockstep by keeping ONE."""
     padding = 1 if (h < 10 and w < 10) else 0
-    shrink = lambda s: ((s - 2 + 2 * padding) // 2 - 2 + 2 * padding) // 2
-    return shrink(h), shrink(w), padding
+
+    def block(hh: int, ww: int) -> tuple[int, int]:
+        hh, ww = hh - 2 + 2 * padding, ww - 2 + 2 * padding
+        if hh >= 2 and ww >= 2:  # mirror RelationConvBlock's pool guard
+            hh, ww = hh // 2, ww // 2
+        return hh, ww
+
+    hs, ws = block(*block(h, w))
+    return hs, ws, padding
 
 
 class RelationModule(nn.Module):
@@ -141,6 +152,7 @@ class RelationNet(EpisodicMethod):
         return jnp.mean(
             optax.softmax_cross_entropy_with_integer_labels(scores, y))
 
+    @partial(jax.jit, static_argnums=0)
     def adapted_scores_from_features(self, params, z: Array,
                                      key: Array) -> Array:
         """Test-time relation-module finetune on the support set
