@@ -215,3 +215,27 @@ def test_relationnet_adapted_scores_one_shot():
                                             jax.random.PRNGKey(1))
     assert scores.shape == (N_WAY * N_QUERY, N_WAY)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_relation_module_geometry_matches_module():
+    """The shared geometry law (used by torch_import/export for the fc1
+    permutation) must agree with RelationConvBlock's ACTUAL output shape —
+    including the conditional maxpool skip on small/asymmetric maps."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_kernel_transfer_tpu.methods.relationnet import (
+        RelationConvBlock, relation_module_geometry)
+
+    for h, w in [(19, 19), (7, 7), (5, 5), (8, 3), (2, 2), (3, 8), (4, 4)]:
+        hs, ws, padding = relation_module_geometry(h, w)
+        x = jnp.zeros((1, h, w, 6))
+        blk = RelationConvBlock(3, padding=padding)
+
+        def fwd(x):
+            y = blk.apply(blk.init(jax.random.PRNGKey(0), x), x,
+                          train=False)
+            return y
+
+        y = fwd(fwd(x))
+        assert y.shape[1:3] == (hs, ws), (h, w, y.shape, (hs, ws))
