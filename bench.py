@@ -8,11 +8,14 @@ batch of episodes on the default JAX device.
 
 Baseline: a torch-CPU re-enactment of the reference's sequential episode
 step (Conv4 forward/backward + per-way exact-GP MLL via torch Cholesky, the
-IndependentModelList loop of reference methods/DKT.py:148-164), measured
-once on this machine and cached in .bench_cpu_baseline.json. The north-star
-target is >=10x this number (BASELINE.md).
+IndependentModelList loop of reference methods/DKT.py:148-164). The
+denominator is PINNED in BASELINE.json ("cpu_reenactment_eps_per_sec",
+measured once on this idle host) so vs_baseline is reproducible run to run
+— re-measuring it per run on the noisy 1-core host produced denominators
+from 0.127 to 0.449 eps/s (the 739x/849x/2624x spread across BENCH_r01/r02
+and docs/ROUND2.md). The north-star target is >=10x (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -21,12 +24,18 @@ import time
 N_WAY, N_SUPPORT, N_QUERY, HW = 5, 5, 15, 84
 EP_BATCH = 32  # conv-bound: eps/s is ~flat in batch, 32 is the measured knee
 _BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
+_BASELINE_JSON = os.path.join(os.path.dirname(__file__), "BASELINE.json")
 
 
-# v5e datasheet peak: 197 TFLOP/s bf16 per chip. MFU is reported against
-# the datasheet number (not the lower observed tunnel peak in DESIGN.md) so
-# regressions show up as a ratio of the hardware, not of our own best run.
-PEAK_FLOPS = 197e12
+# MFU is reported against BOTH peaks so the artifact is self-interpreting:
+#   mfu_datasheet  — v5e datasheet peak, 197 TFLOP/s bf16/chip (regressions
+#                    show as a ratio of the hardware);
+#   mfu_attainable — the chip's OBSERVED peak through this toolchain,
+#                    ~38 TFLOP/s bf16 on large square matmuls
+#                    (docs/DESIGN.md:5-7) — what a perfect program could
+#                    actually sustain here.
+PEAK_FLOPS_DATASHEET = 197e12
+PEAK_FLOPS_ATTAINABLE = 38e12
 
 
 def _measure_jax() -> tuple[float, float]:
@@ -132,6 +141,13 @@ def _measure_torch_cpu_baseline() -> float:
 
 
 def _cpu_baseline() -> float:
+    """Pinned denominator from BASELINE.json; measured + cached only if the
+    pin is absent (then worth copying into BASELINE.json by hand)."""
+    if os.path.exists(_BASELINE_JSON):
+        with open(_BASELINE_JSON) as f:
+            pinned = json.load(f).get("cpu_reenactment_eps_per_sec")
+        if pinned:
+            return pinned
     if os.path.exists(_BASELINE_CACHE):
         with open(_BASELINE_CACHE) as f:
             return json.load(f)["episodes_per_sec"]
@@ -193,7 +209,8 @@ def main():
         "value": round(eps, 3),
         "unit": "episodes/s",
         "vs_baseline": round(eps / base, 2),
-        "mfu": round(achieved / PEAK_FLOPS, 4),
+        "mfu_datasheet": round(achieved / PEAK_FLOPS_DATASHEET, 4),
+        "mfu_attainable": round(achieved / PEAK_FLOPS_ATTAINABLE, 4),
         "achieved_tflops": round(achieved / 1e12, 2),
     }))
 

@@ -168,17 +168,43 @@ def make_cross_filelists(root: str, n_classes: int = 200,
                        "image_labels": [int(c) for c in y[mask]]}, f)
 
 
+ZOO = ("protonet,DKT,matchingnet,relationnet,relationnet_softmax,"
+       "baseline,baseline++,maml_approx,maml")
+
+
+def maml_budget_epochs(shot: int) -> int:
+    """MAML CLI --stop_epoch giving EPISODE-COUNT parity with the other
+    methods' reference budgets (60k episodes 1-shot / 40k 5-shot).
+
+    The reference multiplies stop_epoch by n_task (train.py:163-167), which
+    on character data (n_task=32) turns the 600-epoch default into 1.92M
+    episodes — a budget the paper itself never ran and that a 5-base-class
+    split saturates within a fraction of. train.py applies the same x
+    n_task multiplication and runs ~128 episodes/epoch (4 accumulation
+    batches of 32), so stop_epoch=15 -> 61,440 episodes (~= the 60,000 the
+    other methods get) and stop_epoch=10 -> 40,960 (~= 40,000)."""
+    return 15 if shot == 1 else 10
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--methods", default="DKT,protonet")
+    ap.add_argument("--methods", default="DKT,protonet",
+                    help=f"comma list, or 'zoo' = {ZOO}")
     ap.add_argument("--shots", default="1,5")
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=-1,
                     help="-1 = the reference's default budget per method/shots")
     ap.add_argument("--cross", action="store_true",
                     help="cross-domain: synthetic glyph base, real-digit novel")
+    ap.add_argument("--dkt_variants", action="store_true",
+                    help="also evaluate DKT --laplace and --adaptation heads "
+                         "from the trained DKT checkpoint")
+    ap.add_argument("--skip_existing", action="store_true",
+                    help="skip configs whose _acc row is already in report.json")
     ap.add_argument("--root", default=None)
     args = ap.parse_args()
+    if args.methods == "zoo":
+        args.methods = ZOO
     root = args.root or ("/tmp/_digits_cross" if args.cross
                          else "/tmp/_digits_real")
 
@@ -221,33 +247,77 @@ def main():
         with open(report_path, "w") as f:
             json.dump(report, f, indent=2)
 
-    results: dict[str, float] = {}
+    with open(report_path) as f:
+        existing = json.load(f)
+
+    def eval_and_record(key: str, test_args: list, train_s: float,
+                        label: str) -> None:
+        # across-seed spread is recorded alongside the episode-level CI:
+        # <key>_ci95 is the mean per-run 1.96*std/sqrt(n_iter) (reference
+        # test.py:174), <key>_seed_std the std of the --repeat per-seed
+        # accuracies — a different, usually wider statistic
+        acc, ci, runs = test_cli.main(test_args, return_runs=True)
+        entry = {f"{key}_acc": round(acc, 2),
+                 f"{key}_ci95": round(ci, 2),
+                 f"{key}_seed_std": round(float(np.std(runs)), 2)}
+        if train_s is not None:
+            entry[f"{key}_train_s"] = round(train_s, 1)
+        record(entry)
+        print(f"== {label}: {acc:.2f}% +- {ci:.2f}% (seed std "
+              f"{np.std(runs):.2f})"
+              + (f" (train {train_s:.0f}s)" if train_s else ""))
+
+    trained: set = set()  # baseline ckpt/features are shot-independent
     for method in args.methods.split(","):
         for shot in (int(s) for s in args.shots.split(",")):
+            key = f"{tag}_{method.lower()}_5way_{shot}shot"
+            if args.skip_existing and f"{key}_acc" in existing:
+                print(f"-- skip {key} (already in report.json)")
+                continue
             common = ["--dataset=omniglot", "--model=Conv4",
                       "--train_n_way=5", "--test_n_way=5",
                       f"--n_shot={shot}", "--seed=1", f"--method={method}"]
-            t0 = time.time()
-            # --resume: an interrupted run (TPU tunnel outage) continues
-            # from its last save_freq checkpoint on re-invocation; a fresh
-            # config starts from scratch (no checkpoint yet). Protocol
-            # changes need a fresh --root.
-            train_cli.main(common + ["--resume"]
-                           + ([f"--stop_epoch={args.epochs}"]
-                              if args.epochs != -1 else []))
-            train_s = time.time() - t0
-            if method not in ("DKT", "maml", "maml_approx"):
-                sf_cli.main(common + ["--split=novel"])
-            acc, ci = test_cli.main(common + [f"--repeat={args.repeat}"])
-            key = f"{tag}_{method.lower()}_5way_{shot}shot"
-            entry = {f"{key}_acc": round(acc, 2),
-                     f"{key}_ci95": round(ci, 2),
-                     f"{key}_train_s": round(train_s, 1)}
-            results.update(entry)
-            record(entry)
-            print(f"== {method} {shot}-shot: {acc:.2f}% +- {ci:.2f}% "
-                  f"(train {train_s:.0f}s)")
-    print(json.dumps({k: v for k, v in results.items()}))
+            is_baseline = method in ("baseline", "baseline++")
+            epochs = args.epochs
+            if epochs == -1 and method in ("maml", "maml_approx"):
+                epochs = maml_budget_epochs(shot)
+            # the baseline pretrain checkpoint has no way/shot in its path
+            # (factory.checkpoint_dir) — train + embed once per method
+            train_s = None
+            if not (is_baseline and method in trained):
+                t0 = time.time()
+                # --resume: an interrupted run (TPU tunnel outage) continues
+                # from its last save_freq checkpoint on re-invocation; a
+                # fresh config starts from scratch (no checkpoint yet).
+                # Protocol changes need a fresh --root.
+                train_cli.main(
+                    common + ["--resume"]
+                    + ([f"--stop_epoch={epochs}"] if epochs != -1 else [])
+                    # base-class head sized by the reference's omniglot rule
+                    # (factory.build_method num_classes assert); digits only
+                    # populates ids 0-4 of it
+                    + (["--num_classes=4112"] if is_baseline else []))
+                train_s = time.time() - t0
+                if method not in ("DKT", "maml", "maml_approx"):
+                    sf_cli.main(common + ["--split=novel"])
+                trained.add(method)
+            eval_and_record(key, common + [f"--repeat={args.repeat}"],
+                            train_s, f"{method} {shot}-shot")
+            if method == "DKT" and args.dkt_variants:
+                # eval-only heads from the same checkpoint (reference
+                # test.py --laplace / --adaptation, methods/DKT.py:207-256)
+                eval_and_record(
+                    f"{tag}_dkt_laplace_5way_{shot}shot",
+                    common + [f"--repeat={args.repeat}", "--laplace"],
+                    None, f"DKT+laplace {shot}-shot")
+                eval_and_record(
+                    f"{tag}_dkt_adaptation_5way_{shot}shot",
+                    common + [f"--repeat={args.repeat}", "--adaptation"],
+                    None, f"DKT+adaptation {shot}-shot")
+    with open(report_path) as f:
+        final = json.load(f)
+    print(json.dumps({k: v for k, v in final.items()
+                      if k.startswith(tag)}))
 
 
 if __name__ == "__main__":

@@ -178,7 +178,15 @@ class ExactGP(NamedTuple):
 
     def _use_low_rank(self, params: dict, x: Array) -> bool:
         """Static (shape-level) routing decision: the kernel is exactly
-        low-rank and the factor is at most half the support size."""
+        low-rank and the factor is at most half the support size.
+
+        DKT_GP_FORCE_DENSE=1 (read at trace time) disables the route —
+        the benchmarking escape hatch used by benchmarks/woodbury_workload
+        .py to A/B the dense Gram path on a config that normally routes."""
+        import os
+
+        if os.environ.get("DKT_GP_FORCE_DENSE"):
+            return False
         if self.kernel.low_rank is None:
             return False
         _, z = jax.eval_shape(

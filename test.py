@@ -235,7 +235,12 @@ def single_test(params_cli, seed: int) -> tuple[float, float]:
     return float(accs.mean()), ci95(accs)
 
 
-def main(argv=None):
+def main(argv=None, return_runs: bool = False):
+    """Runs the --repeat reseeded evaluation protocol. Returns (acc, ci)
+    where ci is the mean of the per-run episode-level 95% CIs (reference
+    test.py:174 convention); with return_runs=True also returns the
+    per-seed accuracy list so callers can report across-seed spread (a
+    different statistic from the episode-level CI)."""
     enable_persistent_jit_cache()  # repeat CLI runs skip XLA recompiles
     params_cli = parse_args("test", argv)
     repeat = params_cli.repeat
@@ -262,6 +267,8 @@ def main(argv=None):
             f"{aug_str} {params_cli.n_shot}shot {params_cli.test_n_way}way_test")
         acc_str = f"{repeat} Test Acc = {acc:.2f}% +- {ci:.2f}%"
         f.write(f"Time: {timestamp}, Setting: {exp_setting}, Acc: {acc_str}\n")
+    if return_runs:
+        return acc, ci, accs
     return acc, ci
 
 

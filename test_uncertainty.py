@@ -173,6 +173,10 @@ def make_collector(params_cli):
 
 
 def main(argv=None):
+    """Returns a dict {ece_raw, ece_raw_std, ece_cal, ece_cal_std,
+    temperature, acc} — the measured calibration study for one method
+    (means/stds over the --repeat reseeded runs). ece_raw is the
+    uncalibrated (T=1) 15-bin ECE, ece_cal after temperature scaling."""
     enable_persistent_jit_cache()  # repeat CLI runs skip XLA recompiles
     params_cli = parse_args("test", argv)
     collect = make_collector(params_cli)
@@ -183,19 +187,35 @@ def main(argv=None):
     temperature = calibrate_temperature(logits, targets)
     print(f"fitted temperature: {temperature:.4f}")
 
-    # Phase 2: reseeded repeats -> ECE
-    eces = []
+    # Phase 2: reseeded repeats -> ECE before (T=1) and after temperature
+    # scaling (reference test_uncertainty.py:249-257 reports the scaled
+    # number; the raw one is what scaling is claimed to improve on)
+    eces_raw, eces_cal, accs = [], [], []
     for r in range(params_cli.repeat):
         logits, targets = collect(params_cli.seed + 1 + r)
-        e = ece(logits, targets, temperature=temperature,
-                one_vs_rest=one_vs_rest)
+        e_raw = ece(logits, targets, temperature=1.0,
+                    one_vs_rest=one_vs_rest)
+        e_cal = ece(logits, targets, temperature=temperature,
+                    one_vs_rest=one_vs_rest)
         acc = float(np.mean(np.argmax(logits, 1) == targets)) * 100
-        print(f"run {r}: ECE = {e:.4f} | acc = {acc:.2f}%")
-        eces.append(e)
+        print(f"run {r}: ECE = {e_raw:.4f} raw / {e_cal:.4f} calibrated "
+              f"| acc = {acc:.2f}%")
+        eces_raw.append(e_raw)
+        eces_cal.append(e_cal)
+        accs.append(acc)
     print("-----------------------------")
-    print(f"ECE = {np.mean(eces):.4f} +- {np.std(eces):.4f} "
-          f"(T = {temperature:.3f})")
+    print(f"ECE raw = {np.mean(eces_raw):.4f} +- {np.std(eces_raw):.4f} | "
+          f"ECE calibrated = {np.mean(eces_cal):.4f} +- "
+          f"{np.std(eces_cal):.4f} (T = {temperature:.3f})")
     print("-----------------------------")
+    return {
+        "ece_raw": float(np.mean(eces_raw)),
+        "ece_raw_std": float(np.std(eces_raw)),
+        "ece_cal": float(np.mean(eces_cal)),
+        "ece_cal_std": float(np.std(eces_cal)),
+        "temperature": float(temperature),
+        "acc": float(np.mean(accs)),
+    }
 
 
 if __name__ == "__main__":

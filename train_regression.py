@@ -83,6 +83,7 @@ def main(argv=None):
         print(f"saved {ckpt}")
     else:
         print("nothing to train (start_epoch >= stop_epoch); checkpoint untouched")
+    return state
 
 
 if __name__ == "__main__":
