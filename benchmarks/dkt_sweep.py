@@ -1,0 +1,124 @@
+"""DKT kernel + training-budget sweep on the real-digits benchmark.
+
+Round-2 finding to explain: DKT trails ProtoNet by 6-7 points on
+digits_real (57.97 vs 65.36 1-shot) — the opposite of the paper's ordering
+— while beating everything on the 200-class digits_cross split. This sweep
+separates the two candidate causes:
+
+  * kernel: train + eval DKT with each --kernel_type (the reference's
+    configs.py:7 global, promoted to a flag) in its own workdir (the
+    reference checkpoint naming carries no kernel, so kernels would
+    otherwise collide in save/checkpoints);
+  * budget: evaluate the saved save_freq checkpoints of the default
+    (bncossim) digits_real run at each epoch — if accuracy peaks early and
+    decays, the 5-base-class split over-trains the GP hyperparameters (the
+    degenerate-episode regime: with 5 base classes every 5-way episode
+    contains the SAME classes).
+
+Writes digits_real_dkt_<kernel>_* and digits_real_dkt_ep<N>_* rows into
+benchmarks/report.json. Run AFTER benchmarks/digits_real.py (needs its
+dataset + the default DKT checkpoints).
+
+Usage: python benchmarks/dkt_sweep.py [--kernels rbf,matern,cossim,linear]
+           [--shots 5] [--epoch_sweep_shots 1,5] [--repeat 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from digits_real import make_digits_filelists  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernels", default="rbf,matern,cossim,linear")
+    ap.add_argument("--shots", default="5",
+                    help="shots for the kernel sweep (5 = the cheaper "
+                         "budget; the gap shows in both)")
+    ap.add_argument("--epoch_sweep_shots", default="1,5")
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=-1)
+    ap.add_argument("--skip_existing", action="store_true")
+    ap.add_argument("--root", default="/tmp/_digits_real")
+    args = ap.parse_args()
+    report_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "report.json")
+    make_digits_filelists(args.root)
+
+    def record(update: dict) -> None:
+        with open(report_path) as f:
+            report = json.load(f)
+        report.update(update)
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=2)
+
+    with open(report_path) as f:
+        existing = json.load(f)
+
+    import save_features  # noqa: F401  (imported for parity of sys.path)
+    import test as test_cli
+    import train as train_cli
+
+    def cli(shot: list, extra: list) -> list:
+        return (["--dataset=omniglot", "--model=Conv4", "--train_n_way=5",
+                 "--test_n_way=5", f"--n_shot={shot}", "--seed=1",
+                 "--method=DKT"] + extra)
+
+    # -- budget sweep: eval every saved checkpoint of the default run ------
+    os.chdir(args.root)
+    for shot in (int(s) for s in args.epoch_sweep_shots.split(",") if s):
+        ckdir = f"./save/checkpoints/omniglot/Conv4S_DKT_5way_{shot}shot"
+        iters = sorted(int(f[:-4]) for f in os.listdir(ckdir)
+                       if f[:-4].isdigit()) if os.path.isdir(ckdir) else []
+        sweep = {}
+        for it in iters:
+            key = f"digits_real_dkt_5way_{shot}shot_ep{it}"
+            if args.skip_existing and f"{key}_acc" in existing:
+                continue
+            acc, ci = test_cli.main(cli(shot, ["--repeat=1",
+                                               f"--save_iter={it}"]))
+            sweep[f"{key}_acc"] = round(acc, 2)
+            sweep[f"{key}_ci95"] = round(ci, 2)
+            print(f"== epoch {it} ({shot}-shot): {acc:.2f}% +- {ci:.2f}%")
+            record(sweep)
+
+    # -- kernel sweep: per-kernel workdir, full train + eval ---------------
+    for kernel in (k for k in args.kernels.split(",") if k):
+        for shot in (int(s) for s in args.shots.split(",") if s):
+            key = f"digits_real_dkt_{kernel}_5way_{shot}shot"
+            if args.skip_existing and f"{key}_acc" in existing:
+                print(f"-- skip {key}")
+                continue
+            wd = os.path.join(args.root, f"kern_{kernel}")
+            os.makedirs(wd, exist_ok=True)
+            link = os.path.join(wd, "filelists")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(args.root, "filelists"), link)
+            os.chdir(wd)
+            extra = [f"--kernel_type={kernel}"]
+            t0 = time.time()
+            train_cli.main(cli(shot, extra + ["--resume"]
+                               + ([f"--stop_epoch={args.epochs}"]
+                                  if args.epochs != -1 else [])))
+            train_s = time.time() - t0
+            acc, ci, runs = test_cli.main(
+                cli(shot, extra + [f"--repeat={args.repeat}"]),
+                return_runs=True)
+            record({f"{key}_acc": round(acc, 2),
+                    f"{key}_ci95": round(ci, 2),
+                    f"{key}_seed_std": round(float(np.std(runs)), 2),
+                    f"{key}_train_s": round(train_s, 1)})
+            print(f"== {kernel} {shot}-shot: {acc:.2f}% +- {ci:.2f}% "
+                  f"(train {train_s:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""The memory-bound demonstration for the fused-Gram Pallas Cholesky.
+
+ops/pallas/hbm_cholesky.py is honestly benchmarked as SLOWER than XLA's
+cholesky at every speed-comparable size (its module docstring) — its one
+unique claim is MEMORY: `fused_gram_cholesky_tiled` streams Z tiles and
+writes the factor tile-blocked, so peak HBM is ONE N x N object, while
+XLA's assemble-then-factor pipeline (K = s*Z Z^T + d*I; chol(K)) must hold
+the Gram AND the factor (2 N x N buffers). On a 16 GB v5e chip the
+crossover is around N ~= 45k (2 x N^2 f32 > 16 GB).
+
+This script measures, per N, the workload "logdet(s*Z Z^T + sigma^2 I)"
+(the MLL logdet term at huge support size) through both paths, each probed
+in a SUBPROCESS so an OOM is a recorded data point, not a crashed sweep:
+
+  * xla:   K = s*Z@Z.T + d*I; L = cholesky(K); 2*sum(log diag)
+  * fused: tiled_log_det(fused_gram_cholesky_tiled(Z, s, d))
+
+plus a parity check of the two logdets at the smallest N. Writes
+hbm_demo_* rows into benchmarks/report.json.
+
+Usage: python benchmarks/hbm_memory_demo.py [--sizes 8192,32768,49152]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_PROBE = r"""
+import sys, time, json
+import jax, jax.numpy as jnp
+
+arm, n, d = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+z = jax.random.normal(jax.random.PRNGKey(0), (1, n, d), jnp.float32)
+z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+
+if arm == "xla":
+    def logdet(z):
+        k = 2.0 * jnp.einsum("bnd,bmd->bnm", z, z,
+                             precision=jax.lax.Precision.HIGHEST)
+        k = k + 0.1 * jnp.eye(n, dtype=k.dtype)
+        l = jnp.linalg.cholesky(k)
+        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1)),
+                             axis=-1)
+else:
+    from deep_kernel_transfer_tpu.ops.pallas.hbm_cholesky import (
+        fused_gram_cholesky_tiled, tiled_log_det)
+
+    def logdet(z):
+        return tiled_log_det(fused_gram_cholesky_tiled(z, 2.0, 0.1))
+
+fn = jax.jit(logdet)
+v = float(fn(z)[0])  # compile + run (the readback IS the sync)
+t0 = time.perf_counter()
+v = float(fn(z)[0])
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({"ok": True, "logdet": v,
+                              "seconds": round(dt, 3)}))
+"""
+
+
+def probe(arm: str, n: int, d: int, timeout: int = 900) -> dict:
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE, arm, str(n), str(d)],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=repo)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": f"timeout>{timeout}s"}
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    err = (proc.stderr or proc.stdout)[-500:]
+    kind = ("OOM" if ("RESOURCE_EXHAUSTED" in err or "out of memory" in err
+                      or "Out of memory" in err) else "error")
+    return {"ok": False, "error": kind, "detail": err.splitlines()[-1]
+            if err.splitlines() else ""}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="8192,32768,49152")
+    ap.add_argument("--feat_dim", type=int, default=256)
+    args = ap.parse_args()
+    report_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "report.json")
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    rows: dict = {}
+    parity_done = False
+    for n in sizes:
+        for arm in ("xla", "fused"):
+            r = probe(arm, n, args.feat_dim)
+            key = f"hbm_demo_{arm}_logdet_{n}"
+            if r["ok"]:
+                rows[f"{key}_s"] = r["seconds"]
+                rows[f"{key}_val"] = round(r["logdet"], 1)
+                print(f"{arm:5s} N={n}: {r['seconds']}s "
+                      f"logdet={r['logdet']:.1f}")
+            else:
+                rows[f"{key}_s"] = r["error"]
+                print(f"{arm:5s} N={n}: {r['error']} "
+                      f"{r.get('detail', '')[:120]}")
+        a, b = rows.get(f"hbm_demo_xla_logdet_{n}_val"), rows.get(
+            f"hbm_demo_fused_logdet_{n}_val")
+        if not parity_done and a is not None and b is not None:
+            assert abs(a - b) / max(abs(a), 1.0) < 1e-3, (a, b)
+            rows["hbm_demo_parity_n"] = n
+            parity_done = True
+
+    rows["hbm_demo_protocol"] = (
+        "logdet(2*ZZ^T + 0.1I), Z [1,N,256] f32, per-arm subprocess "
+        "probes on the 16GB v5e: xla = assemble-then-factor (Gram + "
+        "factor, 2 NxN buffers), fused = fused_gram_cholesky_tiled + "
+        "tiled_log_det (factor only, 1 NxN); an OOM entry is the measured "
+        "outcome, not a failure")
+    with open(report_path) as f:
+        report = json.load(f)
+    report.update(rows)
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -261,6 +261,17 @@ def _make_kernel(n: int, d: int, fused: bool, ablate: frozenset = frozenset()):
 
 def _call(kern_args, n: int, d: int, b: int, fused: bool,
           ablate: frozenset = frozenset()):
+    out = _call_tiled(kern_args, n, d, b, fused, ablate)
+    # un-tile [B, nt, nt, T, T] -> [B, N, N] and mask the upper triangle
+    # (tiles above the diagonal are never written). NOTE this transpose
+    # materialises a second N x N buffer — the memory-bound regime uses
+    # fused_gram_cholesky_tiled + tiled_log_det instead.
+    full = out.transpose(0, 1, 3, 2, 4).reshape(b, n, n)
+    return _tril(full)
+
+
+def _call_tiled(kern_args, n: int, d: int, b: int, fused: bool,
+                ablate: frozenset = frozenset()):
     nt = n // T
     ns = max(nt - 1, 1)
     n_smem = 2 if fused else 1
@@ -289,10 +300,7 @@ def _call(kern_args, n: int, d: int, b: int, fused: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*kern_args)
-    # un-tile [B, nt, nt, T, T] -> [B, N, N] and mask the upper triangle
-    # (tiles above the diagonal are never written)
-    full = out.transpose(0, 1, 3, 2, 4).reshape(b, n, n)
-    return _tril(full)
+    return out
 
 
 def _tile_matrix(kmat):
@@ -380,6 +388,40 @@ def _fused_bwd(res, Lbar):
 
 
 fused_gram_cholesky.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_gram_cholesky_tiled(z: Array, scale: Array | float,
+                              diag: Array | float) -> Array:
+    """chol(scale * Z Z^T + diag * I) in TILE-BLOCKED layout
+    [B, nt, nt, T, T] (tiles above the diagonal undefined), skipping the
+    un-tile transpose of fused_gram_cholesky.
+
+    This is the memory-bound-regime entry point: peak HBM is ONE N x N
+    object (the factor itself, plus the N x D features) — XLA's
+    assemble-then-factor needs the Gram AND the factor (2 N x N), and even
+    fused_gram_cholesky's un-tile transpose briefly holds 2 N x N. At N
+    where 2 N x N buffers exceed the chip's HBM, this is the only
+    completing path (demonstrated in benchmarks/hbm_memory_demo.py).
+    Consumers read reductions straight off the tiled layout (tiled_log_det
+    below); forward-only (the memory regime precludes storing residuals)."""
+    b, n, d = z.shape
+    assert n % T == 0, f"N={n} must be a multiple of {T}"
+    assert d % 128 == 0, f"D={d} must be lane-aligned (pad features to 128)"
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape((1,))
+    diag_arr = jnp.asarray(diag, jnp.float32).reshape((1,))
+    return _call_tiled((scale_arr, diag_arr, z.astype(jnp.float32)), n, d, b,
+                       fused=True)
+
+
+def tiled_log_det(lt: Array) -> Array:
+    """logdet(K) = 2 sum log diag(L) from a tile-blocked factor
+    [B, nt, nt, T, T] (allocates only [B, nt, T, T] for the diagonal
+    tiles, never the untiled N x N)."""
+    nt = lt.shape[1]
+    idx = jnp.arange(nt)
+    diag_tiles = lt[:, idx, idx]  # [B, nt, T, T]
+    d = jnp.diagonal(diag_tiles, axis1=-2, axis2=-1)  # [B, nt, T]
+    return 2.0 * jnp.sum(jnp.log(d), axis=(-1, -2))
 
 
 def _chol_rev(L, Lbar):
