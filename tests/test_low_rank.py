@@ -86,6 +86,20 @@ def test_small_n_stays_dense():
     assert not rbf_gp._use_low_rank(rp, x_small)
 
 
+def test_force_dense_env_toggle(monkeypatch):
+    """DKT_GP_FORCE_DENSE=1 (benchmarks/woodbury_workload.py A/B hatch)
+    disables the route at trace time; the dense result matches."""
+    gp, _ = _gps("linear")
+    params = gp.init(jax.random.PRNGKey(0))
+    x, y, _ = _data()
+    assert gp._use_low_rank(params, x)
+    mll_w = float(gp.mll(params, x, y))
+    monkeypatch.setenv("DKT_GP_FORCE_DENSE", "1")
+    assert not gp._use_low_rank(params, x)
+    mll_d = float(gp.mll(params, x, y))
+    assert abs(mll_w - mll_d) < 1e-4
+
+
 _TPU_PARITY_SCRIPT = r"""
 import numpy as np, jax, jax.numpy as jnp
 if jax.default_backend() not in ("tpu", "axon"):

@@ -152,6 +152,14 @@ L_f = np.asarray(fused_gram_cholesky(z, 1.0, 1.0))
 rel = np.abs(L_f - L_ref).max() / np.abs(L_ref).max()
 assert rel < 1e-5, ("fused", rel)
 
+# tiled (memory-regime) entry point: same factor, no untile transpose
+from deep_kernel_transfer_tpu.ops.pallas.hbm_cholesky import (
+    fused_gram_cholesky_tiled, tiled_log_det)
+ld = np.asarray(tiled_log_det(fused_gram_cholesky_tiled(z, 1.0, 1.0)))
+ld_ref = 2.0 * np.log(np.diagonal(L_ref, axis1=-2, axis2=-1)).sum(-1)
+rel = np.abs(ld - ld_ref).max() / np.abs(ld_ref).max()
+assert rel < 1e-5, ("tiled logdet", rel)
+
 # gradient parity vs the XLA chain through a logdet + quadratic form
 y = jnp.asarray(rng.randn(B, N).astype(np.float32))
 def obj(chol_fn):
@@ -176,6 +184,26 @@ print("HBM_OK")
 
 def test_hbm_cholesky_on_tpu():
     _run_on_tpu(_HBM_SCRIPT, "HBM_OK")
+
+
+def test_tiled_log_det_cpu():
+    """tiled_log_det reads logdet off the tile-blocked layout — pure jnp,
+    checked against the untiled diagonal on CPU."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from deep_kernel_transfer_tpu.ops.pallas.hbm_cholesky import (
+        _tile_matrix,
+        tiled_log_det,
+    )
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 64))
+    k = 2.0 * jnp.einsum("bnd,bmd->bnm", z, z) + 0.1 * jnp.eye(256)
+    L = jnp.linalg.cholesky(k)
+    ld_ref = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+    ld = tiled_log_det(_tile_matrix(L))
+    assert np.allclose(np.asarray(ld_ref), np.asarray(ld), rtol=1e-6)
 
 
 def test_hbm_cholesky_bwd_formula():
