@@ -102,7 +102,9 @@ def main():
                 print(f"{arm:5s} N={n}: {r['seconds']}s "
                       f"logdet={r['logdet']:.1f}")
             else:
-                rows[f"{key}_s"] = r["error"]
+                # failures go under _error, keeping _s numeric-only
+                # (ADVICE r3: mixed-type values break numeric consumers)
+                rows[f"{key}_error"] = r["error"]
                 print(f"{arm:5s} N={n}: {r['error']} "
                       f"{r.get('detail', '')[:120]}")
         a, b = rows.get(f"hbm_demo_xla_logdet_{n}_val"), rows.get(

@@ -226,23 +226,26 @@ def bench_resnet10_224():
     B = 16
     xb = jax.random.uniform(jax.random.PRNGKey(1), (B,) + x1.shape)
     holder = {"state": state}
+    # MFU against both peaks (the bench.py convention): 197 TF/s datasheet
+    # and ~38 TF/s observed-attainable bf16 (docs/DESIGN.md:5-7). This is
+    # the config that should land closest to attainable — ResNet10@224
+    # convs are far fatter than Conv4's 64-channel roofline.
+    # AOT-lower BEFORE the timed run: the persistent executable cache then
+    # serves the warm-up compile, instead of paying a second minutes-scale
+    # XLA compile after the measurement (ADVICE r3).
+    try:
+        ca = DKT.train_step.lower(model, state, xb).compile(
+        ).cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca["flops"])
+    except Exception:
+        flops = 0.0
 
     def step(xb):
         holder["state"], m = model.train_step(holder["state"], xb)
         return m
 
     dt = _time(step, (xb,), iters=6)
-    # MFU against both peaks (the bench.py convention): 197 TF/s datasheet
-    # and ~38 TF/s observed-attainable bf16 (docs/DESIGN.md:5-7). This is
-    # the config that should land closest to attainable — ResNet10@224
-    # convs are far fatter than Conv4's 64-channel roofline.
-    try:
-        ca = DKT.train_step.lower(model, holder["state"], xb).compile(
-        ).cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops = float(ca["flops"])
-    except Exception:
-        flops = 0.0
     out = {"resnet10_224_dkt_train_eps_per_sec": round(B / dt, 1)}
     if flops:
         achieved = flops / dt

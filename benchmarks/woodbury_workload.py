@@ -15,9 +15,9 @@ CLIs end-to-end:
     N = 300 support points (-> Woodbury fires in posterior);
   * trained with train.py, evaluated with test.py (600-episode protocol).
 
-Then A/Bs the SAME jitted training/eval step with DKT_GP_FORCE_DENSE=1
-(the trace-time escape hatch in gp/exact.py) to measure what the dense
-N x N Gram path would cost on this config.
+Then A/Bs the SAME jitted training/eval step with force_dense=True (the
+explicit DKT constructor flag wired to ExactGP.force_dense) to measure
+what the dense N x N Gram path would cost on this config.
 
 Writes glyphs20w_* rows into benchmarks/report.json.
 Usage: python benchmarks/woodbury_workload.py [--epochs 50] [--repeat 2]
@@ -76,8 +76,9 @@ def make_glyph_filelists(root: str, n_classes: int = 250,
 
 def bench_step_ab(ep_batch: int = 8, iters: int = 10) -> dict:
     """Time the jitted 20-way DKT train step + posterior eval with the
-    Woodbury route (default) vs DKT_GP_FORCE_DENSE=1 (trace-time toggle:
-    each arm builds its own method object, so each traces fresh)."""
+    Woodbury route (default) vs force_dense=True (an explicit DKT
+    constructor flag — each arm builds its own method object, so each
+    traces fresh; no ambient env state is touched)."""
     import jax
     import jax.numpy as jnp
 
@@ -95,12 +96,8 @@ def bench_step_ab(ep_batch: int = 8, iters: int = 10) -> dict:
 
     out = {}
     for arm in ("woodbury", "dense"):
-        if arm == "dense":
-            os.environ["DKT_GP_FORCE_DENSE"] = "1"
-        else:
-            os.environ.pop("DKT_GP_FORCE_DENSE", None)
         model = DKT(Conv4S(), n_way=N_WAY, n_support=N_SHOT,
-                    kernel_type="bncossim")
+                    kernel_type="bncossim", force_dense=(arm == "dense"))
         state = model.init(jax.random.PRNGKey(0), xb[0])
         state, m = model.train_step(state, xb)  # compile + route at trace
         sync(m["loss"])
@@ -120,7 +117,6 @@ def bench_step_ab(ep_batch: int = 8, iters: int = 10) -> dict:
         sync(acc)
         out[f"{arm}_eval_eps_per_sec"] = round(
             iters * ep_batch / (time.perf_counter() - t0), 2)
-    os.environ.pop("DKT_GP_FORCE_DENSE", None)
     return out
 
 
@@ -146,7 +142,7 @@ def main():
             "15-shot via train.py/test.py; train N=620 (2D=128<=N -> "
             "gp/exact.py Woodbury mll), eval conditions on N=300 "
             "(Woodbury posterior); dense arms re-trace the same step with "
-            "DKT_GP_FORCE_DENSE=1")
+            "force_dense=True (explicit DKT/ExactGP flag)")
         with open(report_path, "w") as f:
             json.dump(report, f, indent=2)
 

@@ -130,6 +130,12 @@ class ExactGP(NamedTuple):
 
     kernel: Kernel
     likelihood: GaussianLikelihood
+    # Disables the Woodbury low-rank route even when the kernel is exactly
+    # low-rank — the dense-Gram A/B arm of benchmarks/woodbury_workload.py.
+    # An explicit spec field (NOT an env read at trace time): jitted entry
+    # points cache per method object, so routing must be fixed at
+    # construction.
+    force_dense: bool = False
 
     def init(self, key: Array, noise: float | None = None) -> dict:
         return {
@@ -180,12 +186,12 @@ class ExactGP(NamedTuple):
         """Static (shape-level) routing decision: the kernel is exactly
         low-rank and the factor is at most half the support size.
 
-        DKT_GP_FORCE_DENSE=1 (read at trace time) disables the route —
-        the benchmarking escape hatch used by benchmarks/woodbury_workload
-        .py to A/B the dense Gram path on a config that normally routes."""
-        import os
-
-        if os.environ.get("DKT_GP_FORCE_DENSE"):
+        force_dense=True (an ExactGP field, set at construction) disables
+        the route — the benchmarking escape hatch used by benchmarks/
+        woodbury_workload.py to A/B the dense Gram path on a config that
+        normally routes. Methods map DKT_GP_FORCE_DENSE=1 onto this field
+        once, in __init__ (methods/dkt.py), never at trace time."""
+        if self.force_dense:
             return False
         if self.kernel.low_rank is None:
             return False

@@ -28,6 +28,7 @@ Semantics preserved from the reference:
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 import jax
 import jax.numpy as jnp
@@ -84,6 +85,7 @@ class DKT:
         noise: float = 0.1,
         feature_dtype: str = "bfloat16",
         use_pallas_mll: bool = False,
+        force_dense: bool | None = None,
     ):
         self.n_way = n_way
         self.n_support = n_support
@@ -97,9 +99,17 @@ class DKT:
         self.normalize = normalizes_features(kernel_type)
         self.feature = DKTFeature(backbone, bn_out=(kernel_type == "bncossim"))
         # Fixed, non-trainable observation noise (reference DKT.py:346-347).
+        # force_dense disables the Woodbury low-rank GP route (the
+        # benchmarks/woodbury_workload.py A/B arm). None maps the
+        # DKT_GP_FORCE_DENSE env var ONCE, here at construction — jitted
+        # entry points cache per method object, so routing must not depend
+        # on ambient state at trace time (build a fresh DKT to re-route).
+        if force_dense is None:
+            force_dense = bool(os.environ.get("DKT_GP_FORCE_DENSE"))
         self.gp = ExactGP(
             make_kernel(kernel_type),
             GaussianLikelihood(trainable=False, fixed_noise=noise),
+            force_dense=force_dense,
         )
         self.tx = optax.multi_transform(
             {"gp": optax.adam(gp_lr), "feature": optax.adam(feature_lr)},

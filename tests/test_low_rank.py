@@ -86,18 +86,32 @@ def test_small_n_stays_dense():
     assert not rbf_gp._use_low_rank(rp, x_small)
 
 
-def test_force_dense_env_toggle(monkeypatch):
-    """DKT_GP_FORCE_DENSE=1 (benchmarks/woodbury_workload.py A/B hatch)
-    disables the route at trace time; the dense result matches."""
+def test_force_dense_field_toggle(monkeypatch):
+    """ExactGP.force_dense (benchmarks/woodbury_workload.py A/B hatch)
+    disables the Woodbury route; the dense result matches. The env var
+    DKT_GP_FORCE_DENSE maps onto the field once, at DKT construction —
+    never at trace time (ADVICE r3: jitted entries cache per object)."""
     gp, _ = _gps("linear")
     params = gp.init(jax.random.PRNGKey(0))
     x, y, _ = _data()
     assert gp._use_low_rank(params, x)
     mll_w = float(gp.mll(params, x, y))
-    monkeypatch.setenv("DKT_GP_FORCE_DENSE", "1")
-    assert not gp._use_low_rank(params, x)
-    mll_d = float(gp.mll(params, x, y))
+    gp_dense = gp._replace(force_dense=True)
+    assert not gp_dense._use_low_rank(params, x)
+    mll_d = float(gp_dense.mll(params, x, y))
     assert abs(mll_w - mll_d) < 1e-4
+    # env var is consumed at construction only
+    from deep_kernel_transfer_tpu.methods import DKT
+    from deep_kernel_transfer_tpu.models.backbones import ConvNetS
+
+    monkeypatch.setenv("DKT_GP_FORCE_DENSE", "1")
+    assert DKT(ConvNetS(depth=2), n_way=2, n_support=1).gp.force_dense
+    monkeypatch.delenv("DKT_GP_FORCE_DENSE")
+    assert not DKT(ConvNetS(depth=2), n_way=2, n_support=1).gp.force_dense
+    # explicit kwarg beats the env var
+    monkeypatch.setenv("DKT_GP_FORCE_DENSE", "1")
+    assert not DKT(ConvNetS(depth=2), n_way=2, n_support=1,
+                   force_dense=False).gp.force_dense
 
 
 _TPU_PARITY_SCRIPT = r"""
