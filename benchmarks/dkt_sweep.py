@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--epoch_sweep_shots", default="1,5")
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=-1)
+    ap.add_argument("--early_stop_only", action="store_true",
+                    help="only the repeat-N eval of the epoch-0 checkpoint "
+                         "(the early-stop config the budget sweep shows is "
+                         "competitive); records digits_real_dkt_earlystop_*")
     ap.add_argument("--skip_existing", action="store_true")
     ap.add_argument("--root", default="/tmp/_digits_real")
     args = ap.parse_args()
@@ -72,8 +76,27 @@ def main():
                  "--test_n_way=5", f"--n_shot={shot}", "--seed=1",
                  "--method=DKT"] + extra)
 
-    # -- budget sweep: eval every saved checkpoint of the default run ------
+    # -- early-stop config: the budget sweep's finding, with full repeat-N
+    # statistics (epoch-0 checkpoint = one epoch of meta-training) ----------
     os.chdir(args.root)
+    if args.early_stop_only:
+        for shot in (int(s) for s in args.epoch_sweep_shots.split(",") if s):
+            key = f"digits_real_dkt_earlystop_5way_{shot}shot"
+            if args.skip_existing and f"{key}_acc" in existing:
+                continue
+            acc, ci, runs = test_cli.main(
+                cli(shot, [f"--repeat={args.repeat}", "--save_iter=0"]),
+                return_runs=True)
+            record({f"{key}_acc": round(acc, 2),
+                    f"{key}_ci95": round(ci, 2),
+                    f"{key}_seed_std": round(float(np.std(runs)), 2),
+                    "digits_real_dkt_earlystop_protocol":
+                        "the default bncossim run's epoch-0 checkpoint "
+                        "(one meta-training epoch), full --repeat eval — "
+                        "the early-stop config the budget sweep shows is "
+                        "competitive on the 5-base-class split"})
+            print(f"== earlystop {shot}-shot: {acc:.2f}% +- {ci:.2f}%")
+        return
     for shot in (int(s) for s in args.epoch_sweep_shots.split(",") if s):
         ckdir = f"./save/checkpoints/omniglot/Conv4S_DKT_5way_{shot}shot"
         iters = sorted(int(f[:-4]) for f in os.listdir(ckdir)
