@@ -137,6 +137,17 @@ class ExactGP(NamedTuple):
     # construction.
     force_dense: bool = False
 
+    @staticmethod
+    def force_dense_from_env() -> bool:
+        """The documented DKT_GP_FORCE_DENSE contract: unset/""/0/false/off
+        (any case) = off, anything else = on. Methods read this ONCE at
+        construction (never at trace time) when their force_dense kwarg is
+        left as None."""
+        import os
+
+        return os.environ.get("DKT_GP_FORCE_DENSE", "").strip().lower() not in (
+            "", "0", "false", "off")
+
     def init(self, key: Array, noise: float | None = None) -> dict:
         return {
             "mean": constant_mean_init(),

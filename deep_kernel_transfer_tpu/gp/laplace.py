@@ -60,6 +60,28 @@ def _newton_mode(K: Array, t: Array, n_iters: int = 30):
     return f_hat
 
 
+def _mode_project(K: Array, t: Array, k_cols: Array, n_iters: int):
+    """Shared body of the binary-probability and OvR-ranking paths
+    (R&W Algorithm 3.2 lines 2-5): Newton mode, then the projection of the
+    query columns k_cols [N, M] through the mode and the stable B
+    factorisation. Returns (f_proj, v_sq) where f_proj = k_cols^T (t - pi)
+    is the (possibly rescaled) predictive mean and v_sq = sum(v^2, axis=0)
+    the matching quadratic term of the predictive variance.
+
+    NOT a duplicate of the Newton loop's last iteration: the loop computes
+    pi/W/L at the PENULTIMATE iterate to produce f_hat; prediction needs
+    them AT the converged mode, so one recompute here is required for
+    exactness."""
+    f_hat = _newton_mode(K, t, n_iters)
+    pi = jax.nn.sigmoid(f_hat)
+    sw = jnp.sqrt(pi * (1.0 - pi))
+    eye = jnp.eye(K.shape[0], dtype=K.dtype)
+    L = jnp.linalg.cholesky(eye + sw[:, None] * K * sw[None, :])
+    f_proj = _dot(k_cols.T, t - pi)  # [M]
+    v = jax.scipy.linalg.solve_triangular(L, sw[:, None] * k_cols, lower=True)
+    return f_proj, jnp.sum(v * v, axis=0)
+
+
 @partial(jax.jit, static_argnames=("n_iters",))
 def laplace_predict_proba(x_train: Array, t: Array, x_query: Array,
                           lengthscale: float = 0.1, outputscale: float = 1.0,
@@ -70,22 +92,10 @@ def laplace_predict_proba(x_train: Array, t: Array, x_query: Array,
     B factorisation; probability by the probit (MacKay) approximation
     sigmoid(f* / sqrt(1 + pi v / 8))."""
     K = rbf_gram(x_train, x_train, lengthscale, outputscale)
-    f_hat = _newton_mode(K, t, n_iters)
-    # NOT a duplicate of the loop's last iteration: the loop computes
-    # pi/W/L at the PENULTIMATE iterate to produce f_hat; prediction needs
-    # them AT the converged mode (R&W Algorithm 3.2 line 2), so one
-    # recompute here is required for exactness.
-    pi = jax.nn.sigmoid(f_hat)
-    W = pi * (1.0 - pi)
-    sw = jnp.sqrt(W)
-    eye = jnp.eye(K.shape[0], dtype=K.dtype)
-    L = jnp.linalg.cholesky(eye + sw[:, None] * K * sw[None, :])
-
     k_star = rbf_gram(x_train, x_query, lengthscale, outputscale)  # [N, M]
-    f_star = _dot(k_star.T, t - pi)  # [M]
-    v = jax.scipy.linalg.solve_triangular(L, sw[:, None] * k_star, lower=True)
+    f_star, v_sq = _mode_project(K, t, k_star, n_iters)
     k_ss = outputscale  # RBF diagonal
-    var = jnp.maximum(k_ss - jnp.sum(v * v, axis=0), 1e-10)  # [M]
+    var = jnp.maximum(k_ss - v_sq, 1e-10)  # [M]
     return jax.nn.sigmoid(f_star / jnp.sqrt(1.0 + jnp.pi * var / 8.0))
 
 
@@ -110,8 +120,10 @@ def laplace_ovr_predict(z_support: Array, y_support: Array, z_query: Array,
     ways of a query — so argmax_w sigmoid(m f~_w / den_w) = argmax_w
     f~_w / den_w exactly, at any distance, with no underflow. This is
     rank-equivalent to infinite-precision sklearn (modulo its erf-blend
-    vs our MacKay probit, both monotone in f*), and measurably BEATS
-    sklearn's f64 head on the digits_real --laplace protocol."""
+    vs our MacKay probit, both monotone in f*); on the digits_real
+    --laplace protocol it measures at parity with sklearn's f64 head
+    (54.97/67.19 vs 54.16/66.99, overlapping CI95s) while staying
+    rank-exact past the distance where sklearn's head saturates."""
     ls2 = lengthscale * lengthscale
     targets = (y_support[None, :] == jnp.arange(n_way)[:, None]).astype(
         z_support.dtype)  # [n_way, N] in {0,1}
@@ -122,17 +134,13 @@ def laplace_ovr_predict(z_support: Array, y_support: Array, z_query: Array,
     # m^2 = exp(-d2min / ls^2); underflow -> 0 is exact enough: it only
     # feeds the variance as k_ss - m^2 |v~|^2 where |v~|^2 <= N
     m2 = jnp.exp(-d2min / ls2)  # [M]
-    eye = jnp.eye(K.shape[0], dtype=K.dtype)
 
     def score_one_way(t: Array) -> Array:
-        f_hat = _newton_mode(K, t, n_iters)
-        pi = jax.nn.sigmoid(f_hat)
-        sw = jnp.sqrt(pi * (1.0 - pi))
-        L = jnp.linalg.cholesky(eye + sw[:, None] * K * sw[None, :])
-        f_tilde = _dot(k_tilde.T, t - pi)  # [M] = f* / m
-        v = jax.scipy.linalg.solve_triangular(L, sw[:, None] * k_tilde,
-                                              lower=True)
-        var = jnp.maximum(1.0 - m2 * jnp.sum(v * v, axis=0), 1e-10)
+        # same mode/factorisation body as laplace_predict_proba, but
+        # projected through the RESCALED columns k~ (f_tilde = f* / m) and
+        # the true variance recovered via m^2 (v~_sq = v_sq / m^2)
+        f_tilde, v_sq_tilde = _mode_project(K, t, k_tilde, n_iters)
+        var = jnp.maximum(1.0 - m2 * v_sq_tilde, 1e-10)
         return f_tilde / jnp.sqrt(1.0 + jnp.pi * var / 8.0)
 
     scores = jax.vmap(score_one_way)(targets)  # [n_way, M]

@@ -28,7 +28,6 @@ Semantics preserved from the reference:
 """
 from __future__ import annotations
 
-import os
 from functools import partial
 import jax
 import jax.numpy as jnp
@@ -105,7 +104,7 @@ class DKT:
         # entry points cache per method object, so routing must not depend
         # on ambient state at trace time (build a fresh DKT to re-route).
         if force_dense is None:
-            force_dense = bool(os.environ.get("DKT_GP_FORCE_DENSE"))
+            force_dense = ExactGP.force_dense_from_env()
         self.gp = ExactGP(
             make_kernel(kernel_type),
             GaussianLikelihood(trainable=False, fixed_noise=noise),

@@ -40,14 +40,21 @@ class DKTRegression:
         kernel_type: str = "rbf",
         lr: float = 1e-3,
         num_mixtures: int = 4,
+        force_dense: bool | None = None,
     ):
         self.feature = backbone
         self.kernel_type = kernel_type
         # 'spectral' needs ard_num_dims = feature dim (reference
         # methods/DKT_regression.py:122: num_mixtures=4, ard_num_dims=2916).
+        # force_dense / DKT_GP_FORCE_DENSE: same contract as DKT.__init__ —
+        # the regression track constructs an ExactGP too, so the dense-Gram
+        # escape hatch must reach it (read once here, never at trace time).
+        if force_dense is None:
+            force_dense = ExactGP.force_dense_from_env()
         self.gp = ExactGP(
             make_kernel(kernel_type, dim=feat_dim, num_mixtures=num_mixtures),
             GaussianLikelihood(trainable=True),
+            force_dense=force_dense,
         )
         # Dual param-group Adam, both 1e-3 (reference train_regression.py:33-34).
         self.tx = optax.adam(lr)

@@ -112,6 +112,18 @@ def test_force_dense_field_toggle(monkeypatch):
     monkeypatch.setenv("DKT_GP_FORCE_DENSE", "1")
     assert not DKT(ConvNetS(depth=2), n_way=2, n_support=1,
                    force_dense=False).gp.force_dense
+    # falsy spellings are OFF (ADVICE r4: "0" must not force dense)
+    for off in ("0", "false", "FALSE", "off", "", " "):
+        monkeypatch.setenv("DKT_GP_FORCE_DENSE", off)
+        assert not DKT(ConvNetS(depth=2), n_way=2, n_support=1).gp.force_dense
+    # the regression track honours the same contract (ADVICE r4)
+    from deep_kernel_transfer_tpu.methods import DKTRegression
+    from deep_kernel_transfer_tpu.models.backbones import MLP2
+
+    monkeypatch.setenv("DKT_GP_FORCE_DENSE", "1")
+    assert DKTRegression(MLP2(), feat_dim=40).gp.force_dense
+    monkeypatch.setenv("DKT_GP_FORCE_DENSE", "0")
+    assert not DKTRegression(MLP2(), feat_dim=40).gp.force_dense
 
 
 _TPU_PARITY_SCRIPT = r"""
