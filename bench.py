@@ -30,12 +30,14 @@ _BASELINE_JSON = os.path.join(os.path.dirname(__file__), "BASELINE.json")
 # MFU is reported against BOTH peaks so the artifact is self-interpreting:
 #   mfu_datasheet  — v5e datasheet peak, 197 TFLOP/s bf16/chip (regressions
 #                    show as a ratio of the hardware);
-#   mfu_attainable — the chip's OBSERVED peak through this toolchain,
-#                    ~38 TFLOP/s bf16 on large square matmuls
-#                    (docs/DESIGN.md:5-7) — what a perfect program could
-#                    actually sustain here.
+#   mfu_attainable — the chip's OBSERVED peak through this toolchain:
+#                    180.2 TFLOP/s bf16, measured by benchmarks/
+#                    peak_sweep.py (scan-chained 16384^2 matmuls,
+#                    tpu_peak_* rows in report.json; re-derived in round 5
+#                    after the old 38 TF/s thin-shape figure was falsified
+#                    by the ResNet10 step's own 42 TF/s).
 PEAK_FLOPS_DATASHEET = 197e12
-PEAK_FLOPS_ATTAINABLE = 38e12
+PEAK_FLOPS_ATTAINABLE = 180.2e12
 
 
 def _measure_jax() -> tuple[float, float]:

@@ -22,6 +22,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+import bench  # the repo-root bench.py: single source of the MFU peak constants
 import jax
 import jax.numpy as jnp
 
@@ -227,9 +228,10 @@ def bench_resnet10_224():
     xb = jax.random.uniform(jax.random.PRNGKey(1), (B,) + x1.shape)
     holder = {"state": state}
     # MFU against both peaks (the bench.py convention): 197 TF/s datasheet
-    # and ~38 TF/s observed-attainable bf16 (docs/DESIGN.md:5-7). This is
-    # the config that should land closest to attainable — ResNet10@224
-    # convs are far fatter than Conv4's 64-channel roofline.
+    # and the measured-attainable bf16 peak (benchmarks/peak_sweep.py,
+    # docs/DESIGN.md §intro). This is the config that should land closest
+    # to attainable — ResNet10@224 convs are far fatter than Conv4's
+    # 64-channel roofline.
     # AOT-lower BEFORE the timed run: the persistent executable cache then
     # serves the warm-up compile, instead of paying a second minutes-scale
     # XLA compile after the measurement (ADVICE r3).
@@ -251,8 +253,10 @@ def bench_resnet10_224():
         achieved = flops / dt
         out.update({
             "resnet10_224_dkt_achieved_tflops": round(achieved / 1e12, 2),
-            "resnet10_224_dkt_mfu_datasheet": round(achieved / 197e12, 4),
-            "resnet10_224_dkt_mfu_attainable": round(achieved / 38e12, 4),
+            "resnet10_224_dkt_mfu_datasheet": round(
+                achieved / bench.PEAK_FLOPS_DATASHEET, 4),
+            "resnet10_224_dkt_mfu_attainable": round(
+                achieved / bench.PEAK_FLOPS_ATTAINABLE, 4),
         })
     return out
 
