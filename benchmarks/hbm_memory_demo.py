@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -63,6 +64,9 @@ print("RESULT " + json.dumps({"ok": True, "logdet": v,
 
 def probe(arm: str, n: int, d: int, timeout: int = 900) -> dict:
     env = dict(os.environ)
+    # unfiltered traceback: the recorded _error_detail must be the actual
+    # exception line, not JAX's "internal frames removed" banner
+    env["JAX_TRACEBACK_FILTERING"] = "off"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         proc = subprocess.run(
@@ -74,17 +78,27 @@ def probe(arm: str, n: int, d: int, timeout: int = 900) -> dict:
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    err = (proc.stderr or proc.stdout)[-500:]
+    err = proc.stderr or proc.stdout
+    err = re.sub(r"\x1b\[[0-9;]*m", "", err)  # strip ANSI color codes
     kind = ("OOM" if ("RESOURCE_EXHAUSTED" in err or "out of memory" in err
-                      or "Out of memory" in err) else "error")
-    return {"ok": False, "error": kind, "detail": err.splitlines()[-1]
-            if err.splitlines() else ""}
+                      or "Out of memory" in err
+                      or "Ran out of memory" in err) else "error")
+    # detail = the exception line itself (last line naming an error class),
+    # not whatever happens to be printed last
+    lines = [l.strip() for l in err.splitlines() if l.strip()]
+    marked = [l for l in lines if any(
+        p in l for p in ("RESOURCE_EXHAUSTED", "Error", "Exception",
+                         "error:", "EXHAUSTED", "INTERNAL", "ABORTED"))]
+    return {"ok": False, "error": kind,
+            "detail": (marked[-1] if marked else lines[-1]) if lines else ""}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="8192,32768,49152")
     ap.add_argument("--feat_dim", type=int, default=256)
+    ap.add_argument("--arms", default="xla,fused",
+                    help="comma subset of {xla,fused} to (re-)probe")
     args = ap.parse_args()
     report_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "report.json")
@@ -92,8 +106,9 @@ def main():
 
     rows: dict = {}
     parity_done = False
+    arms = tuple(a for a in ("xla", "fused") if a in args.arms.split(","))
     for n in sizes:
-        for arm in ("xla", "fused"):
+        for arm in arms:
             r = probe(arm, n, args.feat_dim)
             key = f"hbm_demo_{arm}_logdet_{n}"
             if r["ok"]:
@@ -103,8 +118,12 @@ def main():
                       f"logdet={r['logdet']:.1f}")
             else:
                 # failures go under _error, keeping _s numeric-only
-                # (ADVICE r3: mixed-type values break numeric consumers)
+                # (ADVICE r3: mixed-type values break numeric consumers).
+                # _error is the failure CLASS (OOM vs error vs timeout);
+                # _error_detail pins the actual exception line so "error"
+                # is never an opaque verdict (VERDICT r4 weak #5).
                 rows[f"{key}_error"] = r["error"]
+                rows[f"{key}_error_detail"] = r.get("detail", "")[:300]
                 print(f"{arm:5s} N={n}: {r['error']} "
                       f"{r.get('detail', '')[:120]}")
         a, b = rows.get(f"hbm_demo_xla_logdet_{n}_val"), rows.get(

@@ -127,6 +127,10 @@ def main():
     ap.add_argument("--episode_batch", type=int, default=8)
     ap.add_argument("--skip_train", action="store_true",
                     help="only the step A/B bench (no CLI train/test)")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip the step A/B and training; run the "
+                         "woodbury-vs-dense accuracy A/B on the existing "
+                         "checkpoint under --root")
     ap.add_argument("--root", default="/tmp/_glyphs20w")
     args = ap.parse_args()
     report_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -142,16 +146,18 @@ def main():
             "15-shot via train.py/test.py; train N=620 (2D=128<=N -> "
             "gp/exact.py Woodbury mll), eval conditions on N=300 "
             "(Woodbury posterior); dense arms re-trace the same step with "
-            "force_dense=True (explicit DKT/ExactGP flag)")
+            "force_dense=True (explicit DKT/ExactGP flag); "
+            "glyphs20w_dense_*_acc is the SAME checkpoint + episode "
+            "stream scored through the dense route (accuracy parity A/B)")
         with open(report_path, "w") as f:
             json.dump(report, f, indent=2)
 
-    entry = bench_step_ab(ep_batch=args.episode_batch)
-    record({f"glyphs20w_{k}": v for k, v in entry.items()})
-    print(json.dumps(entry))
-
-    if args.skip_train:
-        return
+    if not args.eval_only:
+        entry = bench_step_ab(ep_batch=args.episode_batch)
+        record({f"glyphs20w_{k}": v for k, v in entry.items()})
+        print(json.dumps(entry))
+        if args.skip_train:
+            return
     make_glyph_filelists(args.root)
     os.chdir(args.root)
     import test as test_cli
@@ -161,15 +167,25 @@ def main():
               f"--train_n_way={N_WAY}", f"--test_n_way={N_WAY}",
               f"--n_shot={N_SHOT}", "--seed=1",
               f"--episode_batch={args.episode_batch}"]
-    t0 = time.time()
-    train_cli.main(common + ["--resume", f"--stop_epoch={args.epochs}"])
-    train_s = time.time() - t0
-    acc, ci = test_cli.main(common + [f"--repeat={args.repeat}"])
-    record({"glyphs20w_dkt_20way_15shot_acc": round(acc, 2),
-            "glyphs20w_dkt_20way_15shot_ci95": round(ci, 2),
-            "glyphs20w_dkt_train_s": round(train_s, 1)})
-    print(f"== glyphs 20-way 15-shot: {acc:.2f}% +- {ci:.2f}% "
-          f"(train {train_s:.0f}s; floor {100 / N_WAY:.0f}%)")
+    if not args.eval_only:
+        t0 = time.time()
+        train_cli.main(common + ["--resume", f"--stop_epoch={args.epochs}"])
+        record({"glyphs20w_dkt_train_s": round(time.time() - t0, 1)})
+    # Accuracy A/B on the SAME checkpoint and the SAME reseeded episode
+    # stream (seed fixed by --seed): the Woodbury route (default, fires at
+    # eval N=300) vs force_dense (env hatch mapped at DKT construction).
+    # Dense-vs-Woodbury parity on the shipped workload, not just unit tests.
+    for arm in ("woodbury", "dense"):
+        os.environ["DKT_GP_FORCE_DENSE"] = "1" if arm == "dense" else "0"
+        try:
+            acc, ci = test_cli.main(common + [f"--repeat={args.repeat}"])
+        finally:
+            os.environ.pop("DKT_GP_FORCE_DENSE", None)
+        key = ("glyphs20w_dkt_20way_15shot" if arm == "woodbury"
+               else "glyphs20w_dense_20way_15shot")
+        record({f"{key}_acc": round(acc, 2), f"{key}_ci95": round(ci, 2)})
+        print(f"== glyphs 20-way 15-shot [{arm}]: {acc:.2f}% +- {ci:.2f}% "
+              f"(floor {100 / N_WAY:.0f}%)")
 
 
 if __name__ == "__main__":
