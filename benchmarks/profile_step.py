@@ -27,7 +27,8 @@ from deep_kernel_transfer_tpu.methods import DKT
 from deep_kernel_transfer_tpu.models.backbones import Conv4
 from deep_kernel_transfer_tpu.utils.profiling import sync as _sync
 
-N_WAY, N_SUPPORT, N_QUERY, HW, B = 5, 5, 15, 84, 16
+N_WAY, N_SUPPORT, N_QUERY, HW = 5, 5, 15, 84
+B = 16  # overridable: --batch (bench.py's flagship config is 32)
 R = 8  # in-jit repetitions
 
 
@@ -60,7 +61,13 @@ def reps_time(fn, *args, iters=3):
 
 
 def main():
+    import argparse
     import os
+
+    global B
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=B)
+    B = ap.parse_args().batch
 
     from deep_kernel_transfer_tpu.utils.jit_cache import (
         enable_persistent_jit_cache)
