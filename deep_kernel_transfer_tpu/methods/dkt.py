@@ -55,10 +55,15 @@ class DKTFeature(nn.Module):
         return getattr(self.backbone, "imagenet_norm", True)
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
-        z = self.backbone(x, train=train)
+    def __call__(self, x: Array, train: bool = True,
+                 ep_groups: int = 1) -> Array:
+        if ep_groups != 1:
+            z = self.backbone(x, train=train, ep_groups=ep_groups)
+        else:
+            z = self.backbone(x, train=train)
         if self.bn_out:
-            z = EpisodicBatchNorm()(z, use_running_average=not train)
+            z = EpisodicBatchNorm()(z, use_running_average=not train,
+                                    ep_groups=ep_groups)
         return z
 
 
@@ -132,15 +137,19 @@ class DKT:
 
     # -- core --------------------------------------------------------------
 
-    def _features(self, params, x_flat: Array, train: bool = False):
+    def _features(self, params, x_flat: Array, train: bool = False,
+                  ep_groups: int = 1):
         """L2-normalised deep features. train=True uses batch-stat BN and
         returns (z, batch_stats_updates); train=False (the reference's
         model.eval() test protocol) uses running averages and returns
         (z, None). The mixed-precision law (bf16 weights, f32 BN stats,
         uint8 preprocessed before the cast, f32 features out) lives in
-        base.apply_trunk — one copy for every method."""
+        base.apply_trunk — one copy for every method. ep_groups > 1:
+        x_flat is that many episodes flattened together and BN statistics
+        are per episode (grouped reductions — see apply_trunk)."""
         z, stats = apply_trunk(self.feature, params["feature"], x_flat,
-                               train, dtype=self.feature_dtype)
+                               train, dtype=self.feature_dtype,
+                               ep_groups=ep_groups)
         if self.normalize:
             z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
         return z, stats
@@ -175,15 +184,29 @@ class DKT:
 
     def batch_loss_train(self, params, xb: Array):
         """(mean episode loss, per-episode-averaged BN stats) over
-        [B, n_way, S+Q, ...]."""
+        [B, n_way, S+Q, ...].
+
+        The trunk runs ONCE on the flat [B*n_way*(S+Q)] image batch with
+        per-episode BN statistics computed as grouped reductions
+        (ep_groups, see base.apply_trunk) — same math as vmapping
+        episode_loss_train over episodes (regression-tested to f32
+        parity), but the convolutions stay un-vmapped: the episodic vmap
+        structure alone measured ~29% of the ResNet10@224 trunk fwd+bwd
+        (docs/DESIGN.md §1). Only the O(N²)/O(N³) GP tail is vmapped."""
         if self.use_pallas_mll:
             from ..ops.pallas.fused_mll import supports
 
             n = xb.shape[1] * xb.shape[2]
             if supports(self.kernel_type, n):
                 return self._batch_loss_pallas(params, xb)
-        losses, stats = jax.vmap(
-            lambda x: self.episode_loss_train(params, x))(xb)
+        b, n_way, n_total = xb.shape[0], xb.shape[1], xb.shape[2]
+        x_flat = xb.reshape((b * n_way * n_total,) + xb.shape[3:])
+        z, stats = self._features(params, x_flat, train=True, ep_groups=b)
+        z = z.reshape(b, n_way * n_total, z.shape[-1])
+        targets = one_vs_rest_targets(n_way, n_total)
+        gp_params = self._gp_params_for(params, n_way)
+        losses = jax.vmap(
+            lambda zz: -sum_mll(self.gp, gp_params, zz, targets))(z)
         return jnp.mean(losses), {"feature": stats}
 
     def _batch_loss_pallas(self, params, xb: Array) -> Array:

@@ -84,13 +84,23 @@ class EpisodicBatchNorm(nn.Module):
 
     Statistics are kept in f32 regardless of input dtype (bf16 accumulation
     over ~1e5 elements loses BN precision in the mixed-precision trunk).
+
+    ep_groups > 1 (train mode): the leading batch axis is ep_groups
+    episodes laid out contiguously, and statistics are computed PER
+    EPISODE — the same per-episode semantics as vmapping the trunk over
+    the episode axis, but computed as grouped reductions on the flat
+    batch so the convolutions stay un-vmapped (measured: the episodic
+    vmap structure costs ~29% of the ResNet10@224 fwd+bwd, DESIGN.md §1).
+    The running-average update matches the vmapped path + merge_stats
+    exactly: per-episode updates averaged over episodes.
     """
 
     momentum: float = 0.1  # torch convention
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: Array, use_running_average: bool = False) -> Array:
+    def __call__(self, x: Array, use_running_average: bool = False,
+                 ep_groups: int = 1) -> Array:
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -99,13 +109,24 @@ class EpisodicBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
         xf = x.astype(jnp.float32)
+        grouped = (not use_running_average) and ep_groups > 1
+        if grouped:
+            assert x.shape[0] % ep_groups == 0, (x.shape, ep_groups)
+            xg = xf.reshape((ep_groups, x.shape[0] // ep_groups)
+                            + x.shape[1:])
+            axes = tuple(range(1, xg.ndim - 1))  # per-episode stats [G, C]
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
+            src = xg if grouped else xf
+            if not grouped:
+                axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(src, axis=axes)
             if x.dtype == jnp.float32:
-                var = jnp.mean(jnp.square(xf - mean), axis=axes)
+                bshape = mean.shape[:-1] + (1,) * (src.ndim - mean.ndim) \
+                    + (features,)
+                var = jnp.mean(jnp.square(src - mean.reshape(bshape)),
+                               axis=axes)
             else:
                 # bf16 trunk: one-pass E[x^2]-m^2 lets XLA compute both
                 # statistics in a single multi-output reduction fusion —
@@ -114,15 +135,23 @@ class EpisodicBatchNorm(nn.Module):
                 # accumulators are 2^16 finer than the bf16 data, so the
                 # cancellation this form risks is harmless here; the f32
                 # exact-parity path keeps the two-pass form.
-                ex2 = jnp.mean(jnp.square(xf), axis=axes)
+                ex2 = jnp.mean(jnp.square(src), axis=axes)
                 var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                n = xf.size / features
+                n = (xg[0].size if grouped else xf.size) / features
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 m = self.momentum
-                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+                new_mean = mean.mean(axis=0) if grouped else mean
+                new_var = unbiased.mean(axis=0) if grouped else unbiased
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * new_mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * new_var
+        if grouped:
+            bshape = (ep_groups,) + (1,) * (xg.ndim - 2) + (features,)
+            y = (xg - mean.reshape(bshape)) * jax.lax.rsqrt(
+                var.reshape(bshape) + self.epsilon)
+            y = y.reshape(xf.shape)
+        else:
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return y.astype(x.dtype)
 
@@ -135,7 +164,8 @@ class ConvBlock(nn.Module):
     padding: int = 1
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 ep_groups: int = 1) -> Array:
         x = nn.Conv(
             self.out_dim,
             (3, 3),
@@ -143,7 +173,8 @@ class ConvBlock(nn.Module):
             kernel_init=_conv_fanin_init,
             use_bias=True,
         )(x)
-        x = EpisodicBatchNorm()(x, use_running_average=not train)
+        x = EpisodicBatchNorm()(x, use_running_average=not train,
+                                ep_groups=ep_groups)
         x = nn.relu(x)
         if self.pool:
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -159,10 +190,11 @@ class ConvNet(nn.Module):
     flatten: bool = True
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 ep_groups: int = 1) -> Array:
         x = preprocess_input(x)
         for i in range(self.depth):
-            x = ConvBlock(64, pool=(i < 4))(x, train)
+            x = ConvBlock(64, pool=(i < 4))(x, train, ep_groups)
         if self.flatten:
             x = x.reshape(x.shape[:-3] + (-1,))
         return x
@@ -175,11 +207,13 @@ class ConvNetNopool(nn.Module):
     depth: int
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 ep_groups: int = 1) -> Array:
         x = preprocess_input(x)
         for i in range(self.depth):
             x = ConvBlock(64, pool=(i in (0, 1)),
-                          padding=0 if i in (0, 1) else 1)(x, train)
+                          padding=0 if i in (0, 1) else 1)(x, train,
+                                                           ep_groups)
         return x
 
 
@@ -191,11 +225,12 @@ class ConvNetS(nn.Module):
     flatten: bool = True
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 ep_groups: int = 1) -> Array:
         x = preprocess_input(x)
         x = x[..., :1]  # use only the first channel (reference backbone.py:307)
         for i in range(self.depth):
-            x = ConvBlock(64, pool=(i < 4))(x, train)
+            x = ConvBlock(64, pool=(i < 4))(x, train, ep_groups)
         if self.flatten:
             x = x.reshape(x.shape[:-3] + (-1,))
         return x
@@ -207,12 +242,14 @@ class ConvNetSNopool(nn.Module):
     depth: int
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 ep_groups: int = 1) -> Array:
         x = preprocess_input(x)
         x = x[..., :1]
         for i in range(self.depth):
             x = ConvBlock(64, pool=(i in (0, 1)),
-                          padding=0 if i in (0, 1) else 1)(x, train)
+                          padding=0 if i in (0, 1) else 1)(x, train,
+                                                           ep_groups)
         return x
 
 
@@ -223,7 +260,8 @@ class SimpleBlock(nn.Module):
     half_res: bool
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 ep_groups: int = 1) -> Array:
         ura = not train
         in_dim = x.shape[-1]
         stride = 2 if self.half_res else 1
@@ -231,19 +269,22 @@ class SimpleBlock(nn.Module):
             self.out_dim, (3, 3), strides=stride, padding=1,
             use_bias=False, kernel_init=_conv_fanin_init,
         )(x)
-        h = EpisodicBatchNorm()(h, use_running_average=ura)
+        h = EpisodicBatchNorm()(h, use_running_average=ura,
+                                ep_groups=ep_groups)
         h = nn.relu(h)
         h = nn.Conv(
             self.out_dim, (3, 3), padding=1, use_bias=False,
             kernel_init=_conv_fanin_init,
         )(h)
-        h = EpisodicBatchNorm()(h, use_running_average=ura)
+        h = EpisodicBatchNorm()(h, use_running_average=ura,
+                                ep_groups=ep_groups)
         if in_dim != self.out_dim:
             s = nn.Conv(
                 self.out_dim, (1, 1), strides=stride, padding=0,
                 use_bias=False, kernel_init=_conv_fanin_init,
             )(x)
-            s = EpisodicBatchNorm()(s, use_running_average=ura)
+            s = EpisodicBatchNorm()(s, use_running_average=ura,
+                                    ep_groups=ep_groups)
         else:
             s = x
         return nn.relu(h + s)
@@ -262,22 +303,26 @@ class BottleneckBlock(nn.Module):
     half_res: bool
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 ep_groups: int = 1) -> Array:
         ura = not train
         in_dim = x.shape[-1]
         bottleneck = self.out_dim // 4
         stride = 2 if self.half_res else 1
         h = nn.Conv(bottleneck, (1, 1), use_bias=False, kernel_init=_conv_fanin_init)(x)
-        h = EpisodicBatchNorm()(h, use_running_average=ura)
+        h = EpisodicBatchNorm()(h, use_running_average=ura,
+                                ep_groups=ep_groups)
         h = nn.relu(h)
         h = nn.Conv(
             bottleneck, (3, 3), strides=stride, padding=1,
             kernel_init=_conv_fanin_init,
         )(h)
-        h = EpisodicBatchNorm()(h, use_running_average=ura)
+        h = EpisodicBatchNorm()(h, use_running_average=ura,
+                                ep_groups=ep_groups)
         h = nn.relu(h)
         h = nn.Conv(self.out_dim, (1, 1), use_bias=False, kernel_init=_conv_fanin_init)(h)
-        h = EpisodicBatchNorm()(h, use_running_average=ura)
+        h = EpisodicBatchNorm()(h, use_running_average=ura,
+                                ep_groups=ep_groups)
         if in_dim != self.out_dim:
             s = nn.Conv(
                 self.out_dim, (1, 1), strides=stride, padding=0,
@@ -297,19 +342,22 @@ class ResNet(nn.Module):
     flatten: bool = True
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 ep_groups: int = 1) -> Array:
         x = preprocess_input(x)
         x = nn.Conv(
             64, (7, 7), strides=2, padding=3, use_bias=False,
             kernel_init=_conv_fanin_init,
         )(x)
-        x = EpisodicBatchNorm()(x, use_running_average=not train)
+        x = EpisodicBatchNorm()(x, use_running_average=not train,
+                                ep_groups=ep_groups)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i in range(4):
             for j in range(self.num_layers[i]):
                 half_res = (i >= 1) and (j == 0)
-                x = self.block(self.out_dims[i], half_res)(x, train)
+                x = self.block(self.out_dims[i], half_res)(x, train,
+                                                           ep_groups)
         if self.flatten:
             x = jnp.mean(x, axis=(-3, -2))  # global avg pool (7x7)
         return x

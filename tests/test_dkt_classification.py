@@ -169,3 +169,54 @@ def test_change_way_adaptation_and_laplace():
     assert n == 3 * 2 and np.isfinite(c)
     c, n = model.correct_laplace(state.params, x3)
     assert n == 3 * 2 and np.isfinite(c)
+
+
+def test_flat_grouped_bn_matches_vmapped_episode_path():
+    """batch_loss_train (flat trunk + grouped per-episode BN, the round-5
+    restructure) must equal the vmapped per-episode path exactly: same
+    mean loss, same episode-averaged batch_stats updates."""
+    model = DKT(ConvNetS(depth=2), n_way=3, n_support=2,
+                kernel_type="bncossim", feature_dtype="float32")
+    rng = np.random.RandomState(3)
+    ex = synthetic_episode(rng, n_way=3, k=6)
+    state = model.init(jax.random.PRNGKey(1), jnp.asarray(ex))
+    xb = jnp.asarray(np.stack([synthetic_episode(rng, n_way=3, k=6)
+                               for _ in range(4)]))
+
+    loss_flat, stats_flat = jax.jit(model.batch_loss_train)(
+        state.params, xb)
+    losses_v, stats_v = jax.jit(jax.vmap(
+        lambda x: model.episode_loss_train(state.params, x),
+        in_axes=0))(xb)
+
+    np.testing.assert_allclose(np.asarray(loss_flat),
+                               np.asarray(jnp.mean(losses_v)),
+                               rtol=2e-6, atol=2e-6)
+    # grouped-BN updates come back episode-averaged; the vmapped ones carry
+    # a leading episode axis that merge_stats averages — compare directly
+    flat_leaves = jax.tree.leaves(stats_flat["feature"])
+    v_leaves = jax.tree.leaves(stats_v)
+    assert len(flat_leaves) == len(v_leaves) > 0
+    for a, b in zip(flat_leaves, v_leaves):
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.asarray(jnp.mean(b, axis=0)),
+                                   rtol=2e-6, atol=2e-6)
+
+
+def test_flat_grouped_bn_matches_vmapped_bf16_argmax():
+    """Under the bf16 trunk the two structures must agree to bf16 noise:
+    per-episode losses from the flat path's features match the vmapped
+    path within bf16 tolerance."""
+    model = DKT(ConvNetS(depth=2), n_way=3, n_support=2,
+                kernel_type="bncossim")  # default bf16 trunk
+    rng = np.random.RandomState(4)
+    ex = synthetic_episode(rng, n_way=3, k=6)
+    state = model.init(jax.random.PRNGKey(2), jnp.asarray(ex))
+    xb = jnp.asarray(np.stack([synthetic_episode(rng, n_way=3, k=6)
+                               for _ in range(2)]))
+    loss_flat, _ = jax.jit(model.batch_loss_train)(state.params, xb)
+    losses_v, _ = jax.jit(jax.vmap(
+        lambda x: model.episode_loss_train(state.params, x)))(xb)
+    np.testing.assert_allclose(np.asarray(loss_flat),
+                               np.asarray(jnp.mean(losses_v)),
+                               rtol=3e-2)
