@@ -136,6 +136,21 @@ class ExactGP(NamedTuple):
     # points cache per method object, so routing must be fixed at
     # construction.
     force_dense: bool = False
+    # Skips psd_safe_cholesky's phase-1 jitter probe (one full batched
+    # factorisation + a while_loop) when the noisy Gram is positive
+    # definite BY CONSTRUCTION: every kernel in the zoo is PSD, so with a
+    # fixed non-trainable noise (DKT classification pins 0.1, reference
+    # methods/DKT.py:346-347) the minimum eigenvalue is >= noise minus f32
+    # roundoff (~1e-4 at N~100) and the probe provably exits at jitter=0 —
+    # where the fast path is BIT-IDENTICAL (cholesky(mat + 0*I) ==
+    # cholesky(mat), parity-tested). Leave False whenever the noise is
+    # trainable (regression) or the Gram can otherwise lose PD-ness.
+    assume_pd: bool = False
+
+    def _factor(self, k_noisy: Array) -> Array:
+        if self.assume_pd:
+            return jnp.linalg.cholesky(k_noisy)
+        return psd_safe_cholesky(k_noisy)
 
     @staticmethod
     def force_dense_from_env() -> bool:
@@ -186,7 +201,7 @@ class ExactGP(NamedTuple):
         k = self.kernel.apply(params["kernel"], x, x)
         k_noisy = k + noise * jnp.eye(n, dtype=k.dtype)
         n_pad = _padded_size(n)
-        chol = psd_safe_cholesky(_pad_gram(k_noisy, n_pad))
+        chol = self._factor(_pad_gram(k_noisy, n_pad))
         alpha = _chol_solve(chol, jnp.pad(diff, (0, n_pad - n)))
         quad = _dot(diff, alpha[:n])
         # leading-diagonal slice: the identity pad must not enter logdet
@@ -247,7 +262,7 @@ class ExactGP(NamedTuple):
         k_tq = self.kernel.apply(kp, x_train, x_query)  # [N, M]
         noise = self.likelihood.noise(params["likelihood"])
         n_pad = _padded_size(n)
-        chol = psd_safe_cholesky(
+        chol = self._factor(
             _pad_gram(k_tt + noise * jnp.eye(n, dtype=k_tt.dtype), n_pad))
         if n_pad != n:  # identity-padded rows solve to exact zeros
             k_tq = jnp.pad(k_tq, ((0, n_pad - n), (0, 0)))

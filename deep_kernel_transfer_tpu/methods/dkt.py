@@ -114,6 +114,12 @@ class DKT:
             make_kernel(kernel_type),
             GaussianLikelihood(trainable=False, fixed_noise=noise),
             force_dense=force_dense,
+            # PSD kernel + fixed noise >= 0.1 => the noisy Gram is PD by
+            # construction, so the jitter-probe factorisation is a provable
+            # no-op here; skipping it removes one of the two forward
+            # Choleskys from every MLL (bit-identical result, see
+            # ExactGP.assume_pd)
+            assume_pd=noise >= 1e-2,
         )
         self.tx = optax.multi_transform(
             {"gp": optax.adam(gp_lr), "feature": optax.adam(feature_lr)},

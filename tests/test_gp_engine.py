@@ -300,3 +300,45 @@ def test_banded_size_identity_padding_is_exact(rng):
     # gradients flow and are finite through the padded factorisation
     g = jax.grad(lambda p: gp.mll(p, jnp.asarray(xt), jnp.asarray(yt)))(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_assume_pd_bit_identical(rng):
+    """assume_pd=True (DKT classification's fast path: skip the jitter
+    probe) must be BIT-identical to the safe path whenever the probe would
+    pick jitter 0 — i.e. on any PD noisy Gram. bncossim-style setup: PSD
+    linear kernel on unit-norm features + fixed noise 0.1."""
+    z = rng.randn(30, 8).astype(np.float32)
+    z = z / np.linalg.norm(z, axis=-1, keepdims=True)
+    y = np.where(rng.rand(30) > 0.5, 1.0, -1.0).astype(np.float32)
+    zq = rng.randn(7, 8).astype(np.float32)
+    lik = GaussianLikelihood(trainable=False, fixed_noise=0.1)
+    safe = ExactGP(make_kernel("cossim"), lik, force_dense=True)
+    fast = safe._replace(assume_pd=True)
+    params = safe.init(jax.random.PRNGKey(0))
+
+    m_safe = gp_mll = safe.mll(params, jnp.asarray(z), jnp.asarray(y))
+    m_fast = fast.mll(params, jnp.asarray(z), jnp.asarray(y))
+    assert float(m_safe) == float(m_fast)  # bit-exact, not approx
+
+    g_safe = jax.grad(lambda p: safe.mll(p, jnp.asarray(z), jnp.asarray(y)))(params)
+    g_fast = jax.grad(lambda p: fast.mll(p, jnp.asarray(z), jnp.asarray(y)))(params)
+    for a, b in zip(jax.tree.leaves(g_safe), jax.tree.leaves(g_fast)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p_safe = safe.posterior(params, jnp.asarray(z), jnp.asarray(y), jnp.asarray(zq))
+    p_fast = fast.posterior(params, jnp.asarray(z), jnp.asarray(y), jnp.asarray(zq))
+    np.testing.assert_array_equal(np.asarray(p_safe.mean), np.asarray(p_fast.mean))
+    np.testing.assert_array_equal(np.asarray(p_safe.variance),
+                                  np.asarray(p_fast.variance))
+
+
+def test_dkt_constructs_assume_pd():
+    """DKT (fixed noise 0.1) opts into the probe-free factorisation; the
+    regression track (trainable noise) must NOT."""
+    from deep_kernel_transfer_tpu.methods import DKT, DKTRegression
+    from deep_kernel_transfer_tpu.models.backbones import MLP2, ConvNetS
+
+    m = DKT(ConvNetS(depth=2), n_way=2, n_support=2, kernel_type="bncossim")
+    assert m.gp.assume_pd
+    r = DKTRegression(MLP2(), feat_dim=40, kernel_type="rbf")
+    assert not r.gp.assume_pd
