@@ -271,7 +271,17 @@ def main():
     for method in args.methods.split(","):
         for shot in (int(s) for s in args.shots.split(",")):
             key = f"{tag}_{method.lower()}_5way_{shot}shot"
-            if args.skip_existing and f"{key}_acc" in existing:
+            # --skip_existing skips per-row, not per-config: the plain row
+            # may exist while the --dkt_variants rows don't — then the
+            # variants still run, eval-only, from the checkpoint already in
+            # --root (no retrain; a missing checkpoint is a usage error).
+            need_plain = not (args.skip_existing and f"{key}_acc" in existing)
+            want_variants = method == "DKT" and args.dkt_variants
+            need_variants = want_variants and not (
+                args.skip_existing
+                and f"{tag}_dkt_laplace_5way_{shot}shot_acc" in existing
+                and f"{tag}_dkt_adaptation_5way_{shot}shot_acc" in existing)
+            if not need_plain and not need_variants:
                 print(f"-- skip {key} (already in report.json)")
                 continue
             common = ["--dataset=omniglot", "--model=Conv4",
@@ -284,7 +294,7 @@ def main():
             # the baseline pretrain checkpoint has no way/shot in its path
             # (factory.checkpoint_dir) — train + embed once per method
             train_s = None
-            if not (is_baseline and method in trained):
+            if need_plain and not (is_baseline and method in trained):
                 t0 = time.time()
                 # --resume: an interrupted run (TPU tunnel outage) continues
                 # from its last save_freq checkpoint on re-invocation; a
@@ -301,9 +311,10 @@ def main():
                 if method not in ("DKT", "maml", "maml_approx"):
                     sf_cli.main(common + ["--split=novel"])
                 trained.add(method)
-            eval_and_record(key, common + [f"--repeat={args.repeat}"],
-                            train_s, f"{method} {shot}-shot")
-            if method == "DKT" and args.dkt_variants:
+            if need_plain:
+                eval_and_record(key, common + [f"--repeat={args.repeat}"],
+                                train_s, f"{method} {shot}-shot")
+            if need_variants:
                 # eval-only heads from the same checkpoint (reference
                 # test.py --laplace / --adaptation, methods/DKT.py:207-256)
                 eval_and_record(
