@@ -316,7 +316,7 @@ def test_assume_pd_bit_identical(rng):
     fast = safe._replace(assume_pd=True)
     params = safe.init(jax.random.PRNGKey(0))
 
-    m_safe = gp_mll = safe.mll(params, jnp.asarray(z), jnp.asarray(y))
+    m_safe = safe.mll(params, jnp.asarray(z), jnp.asarray(y))
     m_fast = fast.mll(params, jnp.asarray(z), jnp.asarray(y))
     assert float(m_safe) == float(m_fast)  # bit-exact, not approx
 
